@@ -1,0 +1,154 @@
+"""Local bundle adjustment: LM over cameras + points with Schur reduction.
+
+Mirrors the semantics of `Optimizer::LocalBundleAdjustment`
+(`src/Optimizer.cc:458-784`): two stages (5 robust iterations, chi2 outlier
+gate, 10 more iterations on inliers), Huber kernel at the 95% chi-square
+quantile, anchor (fixed) cameras, depth-positivity gating.  The g2o LM
+accept/reject schedule is reproduced with a branch-free jnp.where state
+update so the whole optimization is ONE jitted XLA program.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import Intrinsics
+from . import robust
+from .reproj import ReprojEdges, edge_chi2, residuals_and_jacobians
+from .schur import build_normal_blocks, solve_schur
+
+
+class BAResult(NamedTuple):
+    Tcw: jax.Array  # (K, 4, 4)
+    points: jax.Array  # (N, 3)
+    inlier: jax.Array  # (E,) bool — edges surviving the final chi2 gate
+    cost: jax.Array  # scalar robust cost at the solution
+    num_inliers: jax.Array  # scalar int
+
+
+def _total_cost(r, row_mask, inv_sigma2, use_huber, delta2):
+    chi2 = jnp.sum(r * r * row_mask, axis=-1) * inv_sigma2
+    cost_e = jnp.where(use_huber, robust.huber_rho(chi2, delta2), chi2)
+    active = row_mask[..., 0] > 0.0  # row 0 mask == edge validity
+    return jnp.sum(jnp.where(active, cost_e, 0.0))
+
+
+def _lm_stage(
+    Tcw,
+    points,
+    cam_fixed,
+    edges: ReprojEdges,
+    intr: Intrinsics,
+    baseline_fx,
+    iters: int,
+    use_huber: bool,
+    delta2_mono: float = robust.CHI2_MONO,
+    delta2_stereo: float = robust.CHI2_STEREO,
+    init_lambda: float = 1e-3,  # multiplicative Marquardt damping (see schur.py)
+):
+    K = Tcw.shape[0]
+    N = points.shape[0]
+    delta2 = jnp.where(edges.is_stereo, delta2_stereo, delta2_mono)
+
+    def cost_at(Tcw_, points_):
+        r, _, _, row_mask, _ = residuals_and_jacobians(
+            Tcw_, points_, edges, intr, baseline_fx
+        )
+        return _total_cost(r, row_mask, edges.inv_sigma2, use_huber, delta2)
+
+    def body(carry, _):
+        Tcw_, points_, lmbda, cost = carry
+        r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
+            Tcw_, points_, edges, intr, baseline_fx
+        )
+        chi2 = edge_chi2(r, row_mask, edges.inv_sigma2)
+        w_edge = jnp.where(
+            use_huber, robust.huber_weight(chi2, delta2), jnp.ones_like(chi2)
+        )
+        w_row = row_mask * (edges.inv_sigma2 * w_edge)[:, None]
+        blocks = build_normal_blocks(
+            r, Jc, Jp, w_row, edges.kf_idx, edges.pt_idx, K, N, cam_fixed
+        )
+        delta_c, delta_p = solve_schur(blocks, lmbda, cam_fixed)
+        Tcw_try = lie.exp_se3(delta_c) @ Tcw_
+        points_try = points_ + delta_p
+        new_cost = cost_at(Tcw_try, points_try)
+        accept = new_cost < cost
+        Tcw_next = jnp.where(accept, Tcw_try, Tcw_)
+        points_next = jnp.where(accept, points_try, points_)
+        cost_next = jnp.where(accept, new_cost, cost)
+        lmbda_next = jnp.clip(
+            jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6
+        )
+        return (Tcw_next, points_next, lmbda_next, cost_next), None
+
+    cost0 = cost_at(Tcw, points)
+    lmbda0 = jnp.asarray(init_lambda, Tcw.dtype)
+    (Tcw, points, _, cost), _ = jax.lax.scan(
+        body, (Tcw, points, lmbda0, cost0), None, length=iters
+    )
+    return Tcw, points, cost
+
+
+def _gate(Tcw, points, edges: ReprojEdges, intr, baseline_fx):
+    """Outlier gate: chi2 above the 95% quantile or non-positive depth."""
+    r, _, _, row_mask, depth = residuals_and_jacobians(
+        Tcw, points, edges, intr, baseline_fx
+    )
+    chi2 = edge_chi2(r, row_mask, edges.inv_sigma2)
+    th = jnp.where(edges.is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+    return edges.valid & (chi2 <= th) & (depth > 0.0)
+
+
+def local_bundle_adjustment(
+    Tcw: jax.Array,
+    points: jax.Array,
+    cam_fixed: jax.Array,
+    edges: ReprojEdges,
+    intr: Intrinsics,
+    baseline_fx: float = 0.0,
+    iters_robust: int = 5,
+    iters_final: int = 10,
+) -> BAResult:
+    """Two-stage local BA (reference schedule 5 + 10, `Optimizer.cc:566,641`)."""
+    Tcw, points, _ = _lm_stage(
+        Tcw, points, cam_fixed, edges, intr, baseline_fx, iters_robust, use_huber=True
+    )
+    inlier1 = _gate(Tcw, points, edges, intr, baseline_fx)
+    edges2 = edges._replace(valid=inlier1)
+    Tcw, points, cost = _lm_stage(
+        Tcw, points, cam_fixed, edges2, intr, baseline_fx, iters_final, use_huber=False
+    )
+    inlier = _gate(Tcw, points, edges2, intr, baseline_fx)
+    return BAResult(Tcw, points, inlier, cost, jnp.sum(inlier))
+
+
+def global_bundle_adjustment(
+    Tcw: jax.Array,
+    points: jax.Array,
+    edges: ReprojEdges,
+    intr: Intrinsics,
+    baseline_fx: float = 0.0,
+    iters: int = 10,
+    fix_first: bool = True,
+) -> BAResult:
+    """Full-map BA (parity: `Optimizer::BundleAdjustment`, `src/Optimizer.cc:54`).
+
+    Gauge is fixed by anchoring camera 0 (`setFixed(mnId==0)` in the
+    reference).  Same dense-Schur core; for maps beyond a few hundred
+    keyframes use the sharded PCG path in `parallel/`.
+    """
+    cam_fixed = jnp.zeros(Tcw.shape[0], bool).at[0].set(fix_first)
+    Tcw, points, _ = _lm_stage(
+        Tcw, points, cam_fixed, edges, intr, baseline_fx, iters, use_huber=True
+    )
+    inlier = _gate(Tcw, points, edges, intr, baseline_fx)
+    r_cost = _lm_stage(
+        Tcw, points, cam_fixed, edges._replace(valid=inlier), intr, baseline_fx,
+        0, use_huber=False,
+    )[2]
+    return BAResult(Tcw, points, inlier, r_cost, jnp.sum(inlier))

@@ -1,0 +1,135 @@
+"""Schur-complement normal equations for bundle adjustment.
+
+Replaces g2o's sparse-Cholesky BA core (`src/Optimizer.cc`,
+`Thirdparty/g2o`) with a TPU-native formulation:
+
+  * per-edge residual/Jacobian blocks live in SoA arrays (E rows),
+  * normal-equation blocks form via `segment_sum` (no graph pointers),
+  * points are marginalized in closed form (3x3 block inverses),
+  * the reduced camera system S is assembled DENSELY (6K x 6K) through a
+    point-x-camera incidence tensor — pure matmuls, no scatters, exactly the
+    shape the MXU wants.  Local BA has K ~ 10-50 cameras, so dense S is both
+    faster and simpler than sparse factorization; the distributed path
+    (parallel/) swaps this for matrix-free PCG with psum.
+
+Fixed cameras (the anchor keyframes of `Optimizer::LocalBundleAdjustment`,
+`src/Optimizer.cc:458-784`) keep their point contributions but receive no
+update: their Jc is zeroed at the source and S gets an identity block.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class NormalBlocks(NamedTuple):
+    H_cc: jax.Array  # (K, 6, 6) camera diagonal blocks
+    b_c: jax.Array  # (K, 6)    camera rhs (-J^T W r)
+    H_pp: jax.Array  # (N, 3, 3) point diagonal blocks
+    b_p: jax.Array  # (N, 3)    point rhs
+    B_nk: jax.Array  # (N, K, 6, 3) camera-point coupling, grouped by point
+
+
+def build_normal_blocks(
+    r: jax.Array,
+    Jc: jax.Array,
+    Jp: jax.Array,
+    w: jax.Array,
+    kf_idx: jax.Array,
+    pt_idx: jax.Array,
+    num_cams: int,
+    num_points: int,
+    cam_fixed: jax.Array,
+) -> NormalBlocks:
+    """Accumulate weighted normal-equation blocks from per-edge Jacobians.
+
+    r (E, R), Jc (E, R, 6), Jp (E, R, 3), w (E, R) per-row weights
+    (robust weight x information x validity mask).
+    """
+    free = 1.0 - cam_fixed.astype(r.dtype)
+    Jc = Jc * free[kf_idx][:, None, None]
+
+    JcW = Jc * w[..., None]  # (E, R, 6)
+    JpW = Jp * w[..., None]
+    H_cc_e = jnp.einsum("era,erb->eab", JcW, Jc)  # (E, 6, 6)
+    H_pp_e = jnp.einsum("era,erb->eab", JpW, Jp)  # (E, 3, 3)
+    B_e = jnp.einsum("era,erb->eab", JcW, Jp)  # (E, 6, 3)
+    b_c_e = -jnp.einsum("era,er->ea", JcW, r)  # (E, 6)
+    b_p_e = -jnp.einsum("era,er->ea", JpW, r)  # (E, 3)
+
+    H_cc = jax.ops.segment_sum(H_cc_e, kf_idx, num_segments=num_cams)
+    b_c = jax.ops.segment_sum(b_c_e, kf_idx, num_segments=num_cams)
+    H_pp = jax.ops.segment_sum(H_pp_e, pt_idx, num_segments=num_points)
+    b_p = jax.ops.segment_sum(b_p_e, pt_idx, num_segments=num_points)
+    # Couplings grouped by (point, camera) — a point sees a camera at most once,
+    # so this segment_sum is effectively a layout transform.
+    nk = pt_idx * num_cams + kf_idx
+    B_nk = jax.ops.segment_sum(B_e, nk, num_segments=num_points * num_cams)
+    B_nk = B_nk.reshape(num_points, num_cams, 6, 3)
+    return NormalBlocks(H_cc, b_c, H_pp, b_p, B_nk)
+
+
+def _inv3x3_spd(A: jax.Array, lm_lambda: jax.Array) -> jax.Array:
+    """Batched inverse of Marquardt-damped SPD 3x3 blocks (..., 3, 3).
+
+    Damping is multiplicative on the diagonal (A + lambda diag(A)), matching
+    g2o's Levenberg schedule, plus a tiny absolute floor so all-zero blocks
+    (capacity padding: points with no valid observations) stay invertible.
+    """
+    diag = jnp.eye(3, dtype=A.dtype)
+    A = A + lm_lambda * A * diag + 1e-6 * diag
+    return jnp.linalg.inv(A)
+
+
+def solve_schur(
+    blocks: NormalBlocks,
+    lm_lambda: jax.Array,
+    cam_fixed: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Marginalize points, solve the reduced camera system, back-substitute.
+
+    Returns (delta_c (K, 6), delta_p (N, 3)).  `lm_lambda` is the
+    Levenberg-Marquardt additive damping applied to both H_cc and H_pp
+    diagonals.
+    """
+    K = blocks.H_cc.shape[0]
+    dtype = blocks.H_cc.dtype
+
+    Y = _inv3x3_spd(blocks.H_pp, lm_lambda)  # (N, 3, 3)
+    A = jnp.einsum("nkac,ncd->nkad", blocks.B_nk, Y)  # (N, K, 6, 3)
+    # U[k1, k2] = sum_n B[n,k1] Y_n B[n,k2]^T
+    U = jnp.einsum("nkad,nqbd->kaqb", A, blocks.B_nk)  # (K, 6, K, 6)
+    eye6 = jnp.eye(6, dtype=dtype)
+    H_cc_d = blocks.H_cc + lm_lambda * blocks.H_cc * eye6  # Marquardt damping
+    S = -U.reshape(K * 6, K * 6)
+    # Add the block-diagonal H_cc.
+    idx = jnp.arange(K)
+    S = S.reshape(K, 6, K, 6).at[idx, :, idx, :].add(H_cc_d).reshape(K * 6, K * 6)
+
+    # rhs_schur[k] = b_c[k] - sum_n B[n,k] Y_n b_p[n]
+    Yb = jnp.einsum("nab,nb->na", Y, blocks.b_p)  # (N, 3)
+    rhs = blocks.b_c - jnp.einsum("nkac,nc->ka", blocks.B_nk, Yb)  # (K, 6)
+
+    # Fixed cameras: identity block, zero rhs (their H/B rows are already 0).
+    fixed6 = jnp.repeat(cam_fixed, 6)
+    S = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, S)
+    S = S + jnp.diag(fixed6.astype(dtype))
+    rhs = rhs * (1.0 - cam_fixed.astype(dtype))[:, None]
+
+    # Symmetrize (f32 einsum noise) and Jacobi-scale to unit diagonal so the
+    # f32 Cholesky survives the ~1e9 raw condition number of vision Hessians.
+    S = 0.5 * (S + S.T)
+    d = jnp.diagonal(S)
+    dinv = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+    S_sc = S * dinv[:, None] * dinv[None, :]
+    chol, low = jax.scipy.linalg.cho_factor(S_sc, lower=True)
+    y = jax.scipy.linalg.cho_solve((chol, low), rhs.reshape(-1) * dinv)
+    delta_c = (y * dinv).reshape(K, 6)
+
+    # Back-substitution: delta_p = Y (b_p - sum_k B[n,k]^T delta_c[k])
+    Bt_dc = jnp.einsum("nkac,ka->nc", blocks.B_nk, delta_c)  # (N, 3)
+    delta_p = jnp.einsum("nab,nb->na", Y, blocks.b_p - Bt_dc)
+    return delta_c, delta_p

@@ -1,0 +1,142 @@
+"""Golden tests for the Schur-complement BA solver and pose optimization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qsp_slam_tpu.core import lie
+from qsp_slam_tpu.core.camera import Intrinsics
+from qsp_slam_tpu.data.synthetic import ba_edges, make_ba_problem
+from qsp_slam_tpu.opt.local_ba import global_bundle_adjustment, local_bundle_adjustment
+from qsp_slam_tpu.opt.pose_opt import optimize_pose
+from qsp_slam_tpu.opt.reproj import ReprojEdges, residuals_and_jacobians
+
+
+def cam_position_rmse(Tcw_a, Tcw_b):
+    ca = -np.einsum("kji,kj->ki", np.asarray(Tcw_a)[:, :3, :3], np.asarray(Tcw_a)[:, :3, 3])
+    cb = -np.einsum("kji,kj->ki", np.asarray(Tcw_b)[:, :3, :3], np.asarray(Tcw_b)[:, :3, 3])
+    return float(np.sqrt(np.mean(np.sum((ca - cb) ** 2, axis=-1))))
+
+
+class TestJacobians:
+    def test_analytic_vs_autodiff(self, rng):
+        prob = make_ba_problem(num_cams=4, num_points=50, outlier_frac=0.0, seed=3)
+        edges = ba_edges(prob)
+        Tcw = jnp.asarray(prob.Tcw_init)
+        pts = jnp.asarray(prob.points_init)
+        r, Jc, Jp, row_mask, _ = residuals_and_jacobians(Tcw, pts, edges, prob.intr, 0.0)
+
+        # Autodiff wrt camera tangent and point, one edge at a time.
+        def res_e(xi, dp, e):
+            T = lie.exp_se3(xi) @ Tcw[edges.kf_idx[e]]
+            p = pts[edges.pt_idx[e]] + dp
+            pc = T[:3, :3] @ p + T[:3, 3]
+            u = prob.intr.fx * pc[0] / pc[2] + prob.intr.cx
+            v = prob.intr.fy * pc[1] / pc[2] + prob.intr.cy
+            return jnp.stack([u - edges.uv[e, 0], v - edges.uv[e, 1]])
+
+        for e in [0, 7, 33]:
+            Jc_ad = jax.jacfwd(lambda xi: res_e(xi, jnp.zeros(3), e))(jnp.zeros(6))
+            Jp_ad = jax.jacfwd(lambda dp: res_e(jnp.zeros(6), dp, e))(jnp.zeros(3))
+            np.testing.assert_allclose(np.asarray(Jc[e, :2]), np.asarray(Jc_ad), rtol=2e-3, atol=2e-3)
+            np.testing.assert_allclose(np.asarray(Jp[e, :2]), np.asarray(Jp_ad), rtol=2e-3, atol=2e-3)
+
+    def test_stereo_row(self):
+        prob = make_ba_problem(num_cams=3, num_points=30, outlier_frac=0.0, stereo=True, seed=4)
+        edges = ba_edges(prob)
+        bf = 0.08 * float(prob.intr.fx)
+        r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
+            jnp.asarray(prob.Tcw_gt), jnp.asarray(prob.points_gt), edges, prob.intr, bf
+        )
+        # At ground truth, all residual rows should be at noise level.
+        assert float(jnp.abs(r * row_mask).max()) < 4.0
+        assert np.asarray(row_mask)[:, 2].min() == 1.0  # all stereo
+
+
+class TestLocalBA:
+    def test_converges_to_ground_truth(self):
+        prob = make_ba_problem(num_cams=10, num_points=500, outlier_frac=0.05, seed=0)
+        edges = ba_edges(prob)
+        cam_fixed = jnp.zeros(10, bool).at[0].set(True)
+        before = cam_position_rmse(prob.Tcw_init, prob.Tcw_gt)
+        res = jax.jit(
+            lambda T, p: local_bundle_adjustment(T, p, cam_fixed, edges, prob.intr)
+        )(jnp.asarray(prob.Tcw_init), jnp.asarray(prob.points_init))
+        after = cam_position_rmse(res.Tcw, prob.Tcw_gt)
+        assert after < before * 0.1, (before, after)
+        assert after < 0.01  # 1 cm on a 6 m arc
+        # Outlier classification: the injected outliers must be gated out.
+        inl = np.asarray(res.inlier)
+        assert inl[prob.is_outlier].mean() < 0.05
+        assert inl[~prob.is_outlier].mean() > 0.97
+
+    def test_stereo_ba(self):
+        prob = make_ba_problem(
+            num_cams=8, num_points=400, outlier_frac=0.03, stereo=True, seed=1
+        )
+        edges = ba_edges(prob)
+        bf = 0.08 * float(prob.intr.fx)
+        cam_fixed = jnp.zeros(8, bool).at[0].set(True)
+        res = local_bundle_adjustment(
+            jnp.asarray(prob.Tcw_init), jnp.asarray(prob.points_init), cam_fixed,
+            edges, prob.intr, baseline_fx=bf,
+        )
+        # Solver quality: from a perturbed init we must reach the same minimum
+        # as when starting at ground truth (the noise floor of the estimator).
+        res_gt = local_bundle_adjustment(
+            jnp.asarray(prob.Tcw_gt), jnp.asarray(prob.points_gt), cam_fixed,
+            edges, prob.intr, baseline_fx=bf,
+        )
+        assert float(res.cost) < float(res_gt.cost) * 1.02
+        assert cam_position_rmse(res.Tcw, res_gt.Tcw) < 0.005
+        assert cam_position_rmse(res.Tcw, prob.Tcw_gt) < 0.03  # sanity vs GT
+
+    def test_fixed_cameras_stay_fixed(self):
+        prob = make_ba_problem(num_cams=6, num_points=300, seed=2)
+        edges = ba_edges(prob)
+        cam_fixed = jnp.zeros(6, bool).at[0].set(True).at[3].set(True)
+        Tcw0 = jnp.asarray(prob.Tcw_init)
+        res = local_bundle_adjustment(
+            Tcw0, jnp.asarray(prob.points_init), cam_fixed, edges, prob.intr
+        )
+        np.testing.assert_array_equal(np.asarray(res.Tcw[0]), np.asarray(Tcw0[0]))
+        np.testing.assert_array_equal(np.asarray(res.Tcw[3]), np.asarray(Tcw0[3]))
+        # Free cameras did move.
+        assert np.abs(np.asarray(res.Tcw[1]) - np.asarray(Tcw0[1])).max() > 1e-5
+
+    def test_global_ba(self):
+        prob = make_ba_problem(num_cams=12, num_points=600, outlier_frac=0.04, seed=5)
+        edges = ba_edges(prob)
+        res = global_bundle_adjustment(
+            jnp.asarray(prob.Tcw_init), jnp.asarray(prob.points_init), edges, prob.intr
+        )
+        assert cam_position_rmse(res.Tcw, prob.Tcw_gt) < 0.02
+
+
+class TestPoseOpt:
+    def test_recovers_pose_with_outliers(self, rng):
+        prob = make_ba_problem(num_cams=1, num_points=300, obs_per_point=1,
+                               outlier_frac=0.15, pose_noise=0.0, seed=6)
+        edges = ba_edges(prob)
+        # Perturb the single camera.
+        xi = jnp.asarray(rng.normal(0, 1, 6) * jnp.array([0.1, 0.1, 0.1, 0.03, 0.03, 0.03]),
+                         dtype=jnp.float32)
+        Tcw0 = lie.exp_se3(xi) @ jnp.asarray(prob.Tcw_gt[0])
+        res = optimize_pose(Tcw0, jnp.asarray(prob.points_gt), edges, prob.intr)
+        err = cam_position_rmse(res.Tcw[None], prob.Tcw_gt[:1])
+        assert err < 0.005, err
+        inl = np.asarray(res.inlier)
+        assert inl[prob.is_outlier].mean() < 0.05
+        assert inl[~prob.is_outlier].mean() > 0.97
+
+    def test_vmaps_over_hypotheses(self, rng):
+        prob = make_ba_problem(num_cams=1, num_points=120, obs_per_point=1,
+                               outlier_frac=0.0, pose_noise=0.0, seed=7)
+        edges = ba_edges(prob)
+        xis = jnp.asarray(rng.normal(0, 0.05, size=(4, 6)), dtype=jnp.float32)
+        Tcw0 = jax.vmap(lambda x: lie.exp_se3(x) @ jnp.asarray(prob.Tcw_gt[0]))(xis)
+        pts = jnp.asarray(prob.points_gt)
+        res = jax.vmap(lambda T: optimize_pose(T, pts, edges, prob.intr))(Tcw0)
+        errs = [cam_position_rmse(res.Tcw[i][None], prob.Tcw_gt[:1]) for i in range(4)]
+        assert max(errs) < 0.005, errs
