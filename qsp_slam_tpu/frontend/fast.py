@@ -1,0 +1,126 @@
+"""FAST corner detection + spatially-distributed top-K selection.
+
+Replaces the serial FAST + quadtree distribution of the reference
+(`ORBextractor::ComputeKeyPointsOctTree`, `src/ORBextractor.cc:766`) with a
+fully data-parallel formulation:
+
+  * the 16-pixel Bresenham circle test evaluates for EVERY pixel at once as
+    16 shifted image comparisons (VPU-friendly, fuses into one pass),
+  * contiguous-arc-of-9 detection via 16 rotated AND-reductions,
+  * 3x3 non-max suppression on the corner score,
+  * the quadtree spatial distribution becomes per-grid-cell top-k: the image
+    is tiled into cells and each cell contributes at most `cell_cap` corners,
+    then a global top-K by score fills a fixed-capacity keypoint table.
+
+Output is a static-shape SoA table (capacity K, validity mask) — the XLA
+analogue of the reference's variable-length vector<KeyPoint>.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+# Bresenham circle of radius 3 (dy, dx), the standard FAST-16 ring.
+_CIRCLE = (
+    (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
+    (3, 0), (3, -1), (2, -2), (1, -3), (0, -3), (-1, -3), (-2, -2), (-3, -1),
+)
+
+
+class Keypoints(NamedTuple):
+    """Fixed-capacity keypoint table for one pyramid level."""
+
+    xy: jax.Array  # (K, 2) f32 — (x, y) in this level's pixel coords
+    score: jax.Array  # (K,) f32
+    valid: jax.Array  # (K,) bool
+
+
+def _shifted(img: jax.Array, dy: int, dx: int) -> jax.Array:
+    """Image shifted so that out[y, x] = img[y + dy, x + dx] (edge-padded)."""
+    return jnp.roll(img, (-dy, -dx), axis=(0, 1))
+
+
+def fast_score(img: jax.Array, threshold: float) -> jax.Array:
+    """Per-pixel FAST-9/16 corner score (0 where not a corner).
+
+    Score = sum over the contiguous arc of |ring - center| - t, the same
+    "sum of absolute difference over the arc" criterion OpenCV uses for
+    FAST NMS ordering.
+    """
+    c = img
+    ring = jnp.stack([_shifted(img, dy, dx) for dy, dx in _CIRCLE])  # (16, H, W)
+    bright = ring > c[None] + threshold
+    dark = ring < c[None] - threshold
+
+    def arc9(mask):
+        # any rotation r where mask[r .. r+8] are all true
+        acc = jnp.zeros_like(mask[0], dtype=bool)
+        for r in range(16):
+            w = jnp.ones_like(mask[0], dtype=bool)
+            for j in range(9):
+                w = w & mask[(r + j) % 16]
+            acc = acc | w
+        return acc
+
+    is_corner = arc9(bright) | arc9(dark)
+    diff = jnp.abs(ring - c[None]) - threshold
+    score_b = jnp.sum(jnp.where(bright, diff, 0.0), axis=0)
+    score_d = jnp.sum(jnp.where(dark, diff, 0.0), axis=0)
+    score = jnp.maximum(score_b, score_d)
+    score = jnp.where(is_corner, score, 0.0)
+    # Kill the 3-pixel border (ring reads wrap around via roll).
+    H, W = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    border = (yy >= 3) & (yy < H - 3) & (xx >= 3) & (xx < W - 3)
+    return jnp.where(border, score, 0.0)
+
+
+def nms3x3(score: jax.Array) -> jax.Array:
+    """Keep only local maxima in a 3x3 neighborhood."""
+    m = jax.lax.reduce_window(
+        score, -jnp.inf, jax.lax.max, (3, 3), (1, 1), "SAME"
+    )
+    return jnp.where(score >= m, score, 0.0)
+
+
+def detect_keypoints(
+    img: jax.Array,
+    threshold: float,
+    max_keypoints: int,
+    cell: int = 32,
+    cell_cap: int = 8,
+) -> Keypoints:
+    """FAST + NMS + per-cell cap + global top-K -> fixed-size table.
+
+    The per-cell cap plays the role of the reference's quadtree: it prevents a
+    high-texture region from monopolizing the budget, giving spatially spread
+    features (`ORBextractor::DistributeOctTree` semantics).
+    """
+    H, W = img.shape
+    score = nms3x3(fast_score(img, threshold))
+
+    # Pad to a multiple of the cell size and tile into cells.
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    cells = sp.reshape(Hp // cell, cell, Wp // cell, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(-1, cell * cell)  # (C, cell*cell)
+
+    top_s, top_i = jax.lax.top_k(cells, cell_cap)  # (C, cap)
+    cy = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) // (Wp // cell)
+    cx = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) % (Wp // cell)
+    py = cy * cell + top_i // cell
+    px = cx * cell + top_i % cell
+
+    flat_s = top_s.reshape(-1)
+    flat_x = px.reshape(-1)
+    flat_y = py.reshape(-1)
+    k_s, k_i = jax.lax.top_k(flat_s, max_keypoints)
+    xy = jnp.stack(
+        [flat_x[k_i].astype(img.dtype), flat_y[k_i].astype(img.dtype)], axis=-1
+    )
+    return Keypoints(xy=xy, score=k_s, valid=k_s > 0.0)
