@@ -1,0 +1,88 @@
+"""Local mapping: sliding-window bundle adjustment over the SoA map.
+
+Parity (behavior): `LocalMapping::RunOneTime` BA dispatch
+(`src/LocalMapping.cc:227-246`) — after each keyframe insertion the local
+window is re-optimized with the two-stage robust schedule.  The reference
+selects the window by covisibility; at this stage we use the last `window`
+keyframes (equivalent for exploratory trajectories) with the two oldest
+anchored, matching `LocalBundleAdjustment`'s fixed-frame semantics
+(`src/Optimizer.cc:458-784`).  Outlier edges are invalidated in the map's
+edge store (the reference erases observations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..opt.local_ba import local_bundle_adjustment
+from ..opt.reproj import ReprojEdges
+from .map import MapState
+from .tracking import TrackingConfig
+
+
+@partial(jax.jit, static_argnames=("cfg", "window"))
+def local_ba_step(m: MapState, cfg: TrackingConfig, window: int = 8) -> MapState:
+    """Optimize the last `window` keyframes + all their points in place."""
+    Kmax = m.kf_Tcw.shape[0]
+    start = jnp.maximum(m.num_kfs - window, 0)
+
+    # Map global kf id -> window slot (or -1).
+    slot_of = jnp.clip(jnp.arange(Kmax, dtype=jnp.int32) - start, -1, window - 1)
+    slot_of = jnp.where(
+        (jnp.arange(Kmax) >= start) & (jnp.arange(Kmax) < m.num_kfs), slot_of, -1
+    )
+    kf_sel = jnp.clip(start + jnp.arange(window, dtype=jnp.int32), 0, Kmax - 1)
+    Tcw_win = m.kf_Tcw[kf_sel]
+    win_valid = (start + jnp.arange(window)) < m.num_kfs
+    # Anchor the two oldest in-window cameras (and any padding slots).
+    cam_fixed = (jnp.arange(window) < 2) | ~win_valid
+
+    edge_slot = slot_of[m.ob_kf]
+    valid = m.ob_valid & (edge_slot >= 0) & m.pt_valid[m.ob_pt]
+    inv_sigma2 = (1.0 / cfg.orb.pyramid.scale_factor ** 2) ** m.ob_octave.astype(
+        jnp.float32
+    )
+    edges = ReprojEdges(
+        kf_idx=jnp.clip(edge_slot, 0),
+        pt_idx=m.ob_pt,
+        uv=m.ob_uv,
+        u_right=m.ob_ur,
+        inv_sigma2=inv_sigma2,
+        valid=valid,
+    )
+    res = local_bundle_adjustment(
+        Tcw_win,
+        m.pt_xyz,
+        cam_fixed,
+        edges,
+        cfg.intr,
+        baseline_fx=cfg.bf,
+    )
+    # Write back optimized window poses and all points.
+    m = m._replace(
+        kf_Tcw=m.kf_Tcw.at[kf_sel].set(
+            jnp.where(win_valid[:, None, None], res.Tcw, m.kf_Tcw[kf_sel])
+        ),
+        pt_xyz=res.points,
+        # Outlier edges are disabled exactly where the gate rejected an
+        # in-window edge; out-of-window edges keep their validity.
+        ob_valid=jnp.where(edge_slot >= 0, res.inlier & m.ob_valid, m.ob_valid),
+    )
+    return m
+
+
+@partial(jax.jit, static_argnames=())
+def cull_points(m: MapState, min_obs: int = 2) -> MapState:
+    """Disable points whose surviving observation count fell below min_obs.
+
+    Parity: `LocalMapping::MapPointCulling` (`src/LocalMapping.cc:137`).
+    """
+    obs = jax.ops.segment_sum(
+        m.ob_valid.astype(jnp.int32), m.ob_pt, num_segments=m.pt_xyz.shape[0]
+    )
+    keep = m.pt_valid & (obs >= min_obs)
+    return m._replace(pt_valid=keep, pt_obs_count=obs)

@@ -1,0 +1,139 @@
+"""System facade: the single-controller SLAM loop.
+
+Parity: `System::TrackRGBD` + the same-thread mapping mode
+(`src/System.cc:285-352`, `System.LocalMappingInSameThread=1`) — the
+reference's deterministic configuration, which is the natural TPU execution
+model: per frame, a handful of jitted stages run in sequence; mapping (local
+BA) runs synchronously on keyframe insertion.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from . import map as mapmod
+from .local_mapping import local_ba_step
+from .map import MapState
+from .tracking import (
+    FrameData,
+    TrackingConfig,
+    TrackResult,
+    keyframe_insertion,
+    need_keyframe,
+    process_frame,
+    track_frame,
+)
+
+
+@dataclass
+class SlamSystem:
+    cfg: TrackingConfig
+    kmax: int = 64
+    nmax: int = 8192
+    emax: int = 65536
+    ba_window: int = 8
+    map_state: MapState = field(init=False)
+    Tcw: np.ndarray = field(init=False)
+    velocity: np.ndarray = field(init=False)
+    initialized: bool = False
+    frames_since_kf: int = 0
+    inliers_at_last_kf: int = 0
+    trajectory: list = field(default_factory=list)
+    stats: dict = field(default_factory=lambda: {"frames": 0, "keyframes": 0,
+                                                 "track_ms": [], "ba_ms": []})
+
+    def __post_init__(self):
+        self.map_state = mapmod.empty_map(self.kmax, self.nmax, self.emax)
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray, depth) -> np.ndarray:
+        """Process one RGB-D frame; returns the estimated T_cw."""
+        cfg = self.cfg
+        frame = process_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
+
+        if not self.initialized:
+            self._initialize(frame)
+            self.trajectory.append(self.Tcw.copy())
+            return self.Tcw
+
+        t0 = time.perf_counter()
+        Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
+        res: TrackResult = track_frame(self.map_state, Tcw_pred, frame, cfg)
+        res = jax.block_until_ready(res)
+        self.stats["track_ms"].append((time.perf_counter() - t0) * 1e3)
+
+        num_inliers = int(res.num_inliers)
+        Tcw_new = np.asarray(res.Tcw)
+        if num_inliers >= cfg.min_track_inliers:
+            self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
+            self.Tcw = Tcw_new
+            self.frames_since_kf += 1
+            if need_keyframe(
+                self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
+            ):
+                self._insert_keyframe(frame, res)
+        else:
+            # Lost: keep constant-velocity prediction (reference would try
+            # relocalization, which needs the BoW layer — phase 2).
+            self.Tcw = np.asarray(Tcw_pred)
+        self.stats["frames"] += 1
+        self.trajectory.append(self.Tcw.copy())
+        return self.Tcw
+
+    # ------------------------------------------------------------------
+    def _initialize(self, frame: FrameData):
+        """RGB-D initialization (`Tracking::StereoInitialization`,
+        `src/Tracking.cc:629`): first frame becomes KF 0 at the origin with
+        map points for every valid-depth feature."""
+        dummy = TrackResult(
+            Tcw=jnp.asarray(self.Tcw),
+            match_pt=jnp.full(self.nmax, -1, jnp.int32),
+            match_inlier=jnp.zeros(self.nmax, bool),
+            num_matches=jnp.int32(0),
+            num_inliers=jnp.int32(0),
+        )
+        self.map_state = keyframe_insertion(
+            self.map_state, jnp.asarray(self.Tcw), frame, dummy, self.cfg
+        )
+        self.map_state = jax.block_until_ready(self.map_state)
+        self.initialized = True
+        self.inliers_at_last_kf = int(jnp.sum(frame.depth > 0))
+        self.frames_since_kf = 0
+        self.stats["keyframes"] += 1
+
+    def _insert_keyframe(self, frame: FrameData, res: TrackResult):
+        self.map_state = keyframe_insertion(
+            self.map_state, jnp.asarray(self.Tcw), frame, res, self.cfg
+        )
+        t0 = time.perf_counter()
+        self.map_state = local_ba_step(self.map_state, self.cfg, self.ba_window)
+        self.map_state = jax.block_until_ready(self.map_state)
+        self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
+        # Adopt the refreshed pose of the newest keyframe.
+        kf_id = int(self.map_state.num_kfs) - 1
+        self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
+        self.frames_since_kf = 0
+        self.inliers_at_last_kf = int(res.num_inliers)
+        self.stats["keyframes"] += 1
+
+    # ------------------------------------------------------------------
+    def summary(self) -> dict:
+        tm = self.stats["track_ms"]
+        bm = self.stats["ba_ms"]
+        return {
+            "frames": self.stats["frames"],
+            "keyframes": self.stats["keyframes"],
+            "num_points": int(self.map_state.num_pts),
+            "num_obs": int(self.map_state.num_obs),
+            "track_ms_median": float(np.median(tm)) if tm else None,
+            "ba_ms_median": float(np.median(bm)) if bm else None,
+        }

@@ -1,0 +1,238 @@
+"""Per-frame tracking: feature processing, projection matching, pose solve,
+keyframe policy.
+
+Parity map (behavior, not structure — see `src/Tracking.cc:384-627`):
+  * `process_frame`      ≈ Frame ctor (ORB extraction + RGB-D depth lookup,
+                           `src/Frame.cc` RGB-D ctor; u_right = u - bf/z)
+  * `track_frame`        ≈ TrackWithMotionModel + TrackLocalMap collapsed into
+                           one batched projection-match + pose optimization
+                           against the full (masked) point table — the map IS
+                           the local map at synthetic scale; covisibility
+                           windowing only changes the mask
+  * `need_keyframe`      ≈ NeedNewKeyFrame (`src/Tracking.cc:1101`)
+  * `create_keyframe`    ≈ CreateNewKeyFrame (`:1186`): insert observations
+                           for tracked points, spawn new points from depth
+                           for unmatched features (closest-first)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie
+from ..core.camera import Intrinsics, backproject, in_image, project
+from ..frontend import matcher
+from ..frontend.orb import Features, OrbConfig, extract_features
+from ..opt.pose_opt import PoseOptResult, optimize_pose
+from ..opt.reproj import ReprojEdges
+from . import map as mapmod
+from .map import MapState
+
+
+class TrackingConfig(NamedTuple):
+    orb: OrbConfig = OrbConfig()
+    fx: float = 520.9
+    fy: float = 521.0
+    cx: float = 325.1
+    cy: float = 249.7
+    width: int = 640
+    height: int = 480
+    baseline: float = 0.08  # RGB-D pseudo-stereo baseline (m)
+    depth_min: float = 0.1
+    depth_max: float = 8.0
+    search_radius: float = 12.0  # px, scaled by octave
+    min_track_inliers: int = 20
+    kf_min_interval: int = 3
+    kf_max_interval: int = 30
+    kf_tracked_ratio: float = 0.75
+    new_points_per_kf: int = 256
+
+    @property
+    def intr(self) -> Intrinsics:
+        return Intrinsics(
+            jnp.float32(self.fx), jnp.float32(self.fy),
+            jnp.float32(self.cx), jnp.float32(self.cy),
+        )
+
+    @property
+    def bf(self) -> float:
+        return self.baseline * self.fx
+
+
+class FrameData(NamedTuple):
+    feats: Features
+    depth: jax.Array  # (F,) depth at keypoint (0 = invalid)
+    u_right: jax.Array  # (F,) pseudo-stereo right coordinate (-1 = none)
+
+
+class TrackResult(NamedTuple):
+    Tcw: jax.Array  # (4, 4) optimized pose
+    match_pt: jax.Array  # (N_map,) int32 — feature idx matched per map point (-1)
+    match_inlier: jax.Array  # (N_map,) bool — survived pose optimization
+    num_matches: jax.Array  # int32
+    num_inliers: jax.Array  # int32
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_frame(gray: jax.Array, depth_img: jax.Array, cfg: TrackingConfig) -> FrameData:
+    """Extract ORB features and per-keypoint depth (RGB-D frame constructor)."""
+    feats = extract_features(gray, cfg.orb)
+    xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, cfg.width - 1)
+    yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, cfg.height - 1)
+    d = depth_img[yi, xi]
+    ok = (d > cfg.depth_min) & (d < cfg.depth_max) & feats.valid
+    d = jnp.where(ok, d, 0.0)
+    u_right = jnp.where(ok, feats.xy[:, 0] - cfg.bf / jnp.where(ok, d, 1.0), -1.0)
+    return FrameData(feats=feats, depth=d, u_right=u_right)
+
+
+def _octave_radius(cfg: TrackingConfig, octave: jax.Array) -> jax.Array:
+    return cfg.search_radius * cfg.orb.pyramid.scale_factor ** octave.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def track_frame(
+    m: MapState, Tcw_pred: jax.Array, frame: FrameData, cfg: TrackingConfig
+) -> TrackResult:
+    """Projection search against the map + motion-only pose optimization."""
+    intr = cfg.intr
+    # 1. Project all valid map points with the predicted pose.
+    pts_cam = lie.transform_points(Tcw_pred, m.pt_xyz[None])[0]
+    uv, z = project(pts_cam, intr)
+    proj_ok = (
+        m.pt_valid
+        & (z > cfg.depth_min)
+        & in_image(uv, cfg.width, cfg.height, border=-20)
+    )
+    # 2. Windowed descriptor match (one masked int8 matmul).  If the narrow
+    # window finds too few candidates the search re-runs at 2x radius — the
+    # reference's enlarge-and-retry fallback (`src/Tracking.cc:1016-1027`),
+    # done branch-free by computing both and selecting.
+    def run_search(scale):
+        radius = _octave_radius(cfg, m.pt_octave) * scale
+        mres = matcher.search_by_projection(
+            proj_uv=uv,
+            proj_valid=proj_ok,
+            proj_desc_pm=m.pt_desc,
+            proj_octave=m.pt_octave,
+            feat_xy=frame.feats.xy,
+            feat_valid=frame.feats.valid,
+            feat_desc_pm=frame.feats.desc_pm,
+            feat_octave=frame.feats.octave,
+            radius_per_row=radius,
+            max_dist=matcher.TH_HIGH,
+            ratio=0.9,
+        )
+        return matcher.resolve_duplicates(mres, frame.feats.capacity)
+
+    match1 = run_search(1.0)
+    match2 = run_search(2.0)
+    few = jnp.sum(match1.valid) < 50
+    match = matcher.MatchResult(
+        idx=jnp.where(few, match2.idx, match1.idx),
+        dist=jnp.where(few, match2.dist, match1.dist),
+        valid=jnp.where(few, match2.valid, match1.valid),
+    )
+
+    # 3. Pose-only optimization on the matched 3D-2D pairs.
+    fidx = jnp.clip(match.idx, 0)
+    muv = frame.feats.xy[fidx]
+    mur = frame.u_right[fidx]
+    moct = frame.feats.octave[fidx]
+    inv_sigma2 = (1.0 / cfg.orb.pyramid.scale_factor ** 2) ** moct.astype(jnp.float32)
+    edges = ReprojEdges(
+        kf_idx=jnp.zeros_like(match.idx),
+        pt_idx=jnp.arange(m.pt_xyz.shape[0], dtype=jnp.int32),
+        uv=muv,
+        u_right=mur,
+        inv_sigma2=inv_sigma2,
+        valid=match.valid,
+    )
+    res: PoseOptResult = optimize_pose(
+        Tcw_pred, m.pt_xyz, edges, intr, baseline_fx=cfg.bf
+    )
+    return TrackResult(
+        Tcw=res.Tcw,
+        match_pt=match.idx,
+        match_inlier=res.inlier,
+        num_matches=jnp.sum(match.valid),
+        num_inliers=res.num_inliers,
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def keyframe_insertion(
+    m: MapState,
+    Tcw: jax.Array,
+    frame: FrameData,
+    track: TrackResult,
+    cfg: TrackingConfig,
+) -> MapState:
+    """Insert a keyframe: observations for tracked points + new depth points.
+
+    New map points come from features with valid depth that were NOT matched
+    to an existing point, closest-first (`src/Tracking.cc:1313-1373` sorts by
+    depth and instantiates close points).
+    """
+    m, kf_id = mapmod.add_keyframe(m, Tcw)
+    F = frame.feats.capacity
+    N = m.pt_xyz.shape[0]
+
+    # --- observations of tracked (inlier) map points
+    pt_ids = jnp.where(track.match_inlier, jnp.arange(N, dtype=jnp.int32), -1)
+    fidx = jnp.clip(track.match_pt, 0)
+    m = mapmod.add_observations(
+        m,
+        kf_id,
+        pt_ids=jnp.where(track.match_inlier, pt_ids, -1),
+        uv=frame.feats.xy[fidx],
+        u_right=frame.u_right[fidx],
+        octave=frame.feats.octave[fidx],
+    )
+
+    # --- new points from unmatched features with depth, closest-first
+    matched_feat = jnp.zeros(F, bool).at[fidx].set(track.match_inlier)
+    cand = frame.feats.valid & (frame.depth > 0.0) & ~matched_feat
+    order = jnp.argsort(jnp.where(cand, frame.depth, jnp.inf))
+    take = order[: cfg.new_points_per_kf]
+    take_ok = cand[take]
+    T_wc = lie.inv_se3(Tcw)
+    p_cam = backproject(frame.feats.xy[take], frame.depth[take], cfg.intr)
+    p_w = lie.transform_points(T_wc, p_cam[None])[0]
+    view = p_w - T_wc[:3, 3]
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+    m, new_ids = mapmod.add_points(
+        m,
+        xyz=p_w,
+        desc=frame.feats.desc_pm[take],
+        octave=frame.feats.octave[take],
+        normal=view,
+        valid=take_ok,
+    )
+    m = mapmod.add_observations(
+        m,
+        kf_id,
+        pt_ids=new_ids,
+        uv=frame.feats.xy[take],
+        u_right=frame.u_right[take],
+        octave=frame.feats.octave[take],
+    )
+    return m
+
+
+def need_keyframe(
+    frames_since_kf: int,
+    num_inliers: int,
+    inliers_at_last_kf: int,
+    cfg: TrackingConfig,
+) -> bool:
+    """Host-side keyframe policy (`Tracking::NeedNewKeyFrame` essentials)."""
+    if frames_since_kf < cfg.kf_min_interval:
+        return False
+    if frames_since_kf >= cfg.kf_max_interval:
+        return True
+    return num_inliers < cfg.kf_tracked_ratio * max(inliers_at_last_kf, 1)
