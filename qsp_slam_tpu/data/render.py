@@ -70,6 +70,70 @@ def make_room(
     )
 
 
+class Scene(NamedTuple):
+    """Room + ellipsoid objects (ground-truth object landmarks)."""
+
+    room: BoxRoom
+    ellipsoids: jax.Array  # (O, 9) minimal vectors in world frame
+    labels: jax.Array  # (O,) int32 semantic labels
+    albedo: jax.Array  # (O,) f32 base gray value
+
+
+def make_scene(num_objects: int = 4, seed: int = 1, half_extent=(4.0, 2.2, 4.0)) -> Scene:
+    """Room with ellipsoid objects resting on the floor (y = +hy, y down)."""
+    room = make_room(half_extent=half_extent, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    hx, hy, hz = half_extent
+    els, labels, albedo = [], [], []
+    for i in range(num_objects):
+        half = rng.uniform([0.12, 0.10, 0.12], [0.35, 0.30, 0.35])
+        x = rng.uniform(-hx * 0.6, hx * 0.6)
+        z = rng.uniform(0.8, hz * 0.9)
+        yaw = rng.uniform(0, np.pi)
+        # resting on floor: camera-up is -y, floor at y=+hy
+        y = hy - half[1]
+        # rotation about the world up axis (-y): roll/pitch zero in a frame
+        # whose z is up; build via euler (rot about y)
+        els.append([x, y, z, 0.0, yaw, 0.0, half[0], half[1], half[2]])
+        labels.append(i % 3)
+        albedo.append(rng.uniform(120.0, 240.0))
+    return Scene(
+        room=room,
+        ellipsoids=jnp.asarray(np.array(els, np.float32)),
+        labels=jnp.asarray(np.array(labels, np.int32)),
+        albedo=jnp.asarray(np.array(albedo, np.float32)),
+    )
+
+
+def _ray_ellipsoid(e: jax.Array, origin: jax.Array, rays: jax.Array):
+    """Batched ray-ellipsoid intersection.
+
+    e (9,), origin (3,), rays (..., 3) -> t (...,) (inf if miss) and unit
+    normals (..., 3) at the hit point (world frame).
+    """
+    from ..core import quadric as _q
+
+    Tsim = _q.similarity_transform(e)  # sphere -> world
+    R = _q.euler_to_rotmat(e[3:6])
+    inv_scale = 1.0 / e[6:9]
+    # world -> unit-sphere coords: x' = S^-1 R^T (x - c)
+    o_l = (R.T @ (origin - e[0:3])) * inv_scale
+    d_l = jnp.einsum("ij,...j->...i", R.T, rays) * inv_scale
+    a = jnp.sum(d_l * d_l, axis=-1)
+    b = 2.0 * jnp.einsum("...i,i->...", d_l, o_l)
+    c = jnp.sum(o_l * o_l) - 1.0
+    disc = b * b - 4 * a * c
+    hit = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = (-b - sq) / (2 * a)
+    t = jnp.where(hit & (t0 > 0.05), t0, jnp.inf)
+    # normal: gradient of implicit fn in world frame
+    p_l = o_l + d_l * t[..., None]
+    n_w = jnp.einsum("ij,...j->...i", R, p_l * inv_scale)
+    n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
+    return t, n_w
+
+
 @partial(jax.jit, static_argnames=("height", "width"))
 def render_frame(
     room: BoxRoom,
@@ -123,6 +187,89 @@ def render_frame(
         + samp(v0 + 1, u0 + 1) * fu * fv
     )
     return g, depth
+
+
+@partial(jax.jit, static_argnames=("height", "width"))
+def render_scene(
+    scene: Scene,
+    T_cw: jax.Array,
+    intr: Intrinsics,
+    height: int = 480,
+    width: int = 640,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Render (gray, depth, instance_id) with objects composited over the room.
+
+    instance_id (H, W) int32 is -1 for background — the ground-truth mask
+    used by the synthetic detector (the `detect_online:false` replay seam).
+    """
+    gray_bg, depth_bg = render_frame(scene.room, T_cw, intr, height, width)
+    T_wc = lie.inv_se3(T_cw)
+    R_wc = T_wc[:3, :3]
+    c_w = T_wc[:3, 3]
+    yy = jax.lax.broadcasted_iota(jnp.float32, (height, width), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (height, width), 1)
+    rays_c = jnp.stack(
+        [(xx - intr.cx) / intr.fx, (yy - intr.cy) / intr.fy, jnp.ones_like(xx)],
+        axis=-1,
+    )
+    rays_w = jnp.einsum("ij,hwj->hwi", R_wc, rays_c)
+
+    def one_obj(e, alb):
+        t, n = _ray_ellipsoid(e, c_w, rays_w)
+        # Lambert shading + surface ripple so ORB finds texture on objects.
+        light = jnp.asarray([0.4, -0.8, 0.45])
+        light = light / jnp.linalg.norm(light)
+        lam = jnp.clip(jnp.einsum("hwi,i->hw", n, light), 0.15, 1.0)
+        p_w = c_w + rays_w * t[..., None]
+        ripple = 0.5 + 0.5 * jnp.sin(23.0 * p_w[..., 0]) * jnp.sin(
+            19.0 * p_w[..., 1]
+        ) * jnp.sin(29.0 * p_w[..., 2])
+        g = alb * lam * (0.75 + 0.45 * ripple)
+        return t, g
+
+    ts, gs = jax.vmap(one_obj)(scene.ellipsoids, scene.albedo)  # (O, H, W)
+    t_best = jnp.min(ts, axis=0)
+    o_best = jnp.argmin(ts, axis=0).astype(jnp.int32)
+    obj_hit = jnp.isfinite(t_best) & ((t_best < depth_bg) | (depth_bg <= 0.0))
+    gray = jnp.where(obj_hit, jnp.take_along_axis(gs, o_best[None], 0)[0], gray_bg)
+    depth = jnp.where(obj_hit, t_best, depth_bg)
+    inst = jnp.where(obj_hit, o_best, -1)
+    return gray, depth, inst
+
+
+def gt_detections(
+    scene: Scene, T_cw, intr: Intrinsics, width=640, height=480,
+    min_pixels: int = 400,
+):
+    """Synthetic detector: GT-projected bboxes (+labels) for one frame.
+
+    This is the framework's cached-detection replay seam (the reference's
+    `detect_online: false` path, `reconstruct/mono_sequence.py:111-115`):
+    deterministic detections decoupled from any learned detector.
+    Returns dict with bbox (O, 4), label (O,), prob (O,), valid (O,).
+    """
+    from ..core import quadric as _q
+
+    e = scene.ellipsoids
+    bbox = _q.project_bbox(e, jnp.asarray(T_cw), intr.K)
+    vis = _q.check_observability(e, jnp.asarray(T_cw))
+    b = jnp.stack(
+        [
+            jnp.clip(bbox[:, 0], 0, width - 1),
+            jnp.clip(bbox[:, 1], 0, height - 1),
+            jnp.clip(bbox[:, 2], 0, width - 1),
+            jnp.clip(bbox[:, 3], 0, height - 1),
+        ],
+        axis=-1,
+    )
+    area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    valid = vis & (area > min_pixels)
+    return {
+        "bbox": b,
+        "label": scene.labels,
+        "prob": jnp.where(valid, 0.99, 0.0),
+        "valid": valid,
+    }
 
 
 def orbit_trajectory(num_frames: int, step: float = 0.02) -> np.ndarray:

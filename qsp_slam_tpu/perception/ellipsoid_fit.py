@@ -1,0 +1,168 @@
+"""Depth + bbox -> ellipsoid extraction (single-frame object estimate).
+
+Parity: `EllipsoidExtractor::EstimateLocalEllipsoidUsingMultiPlanes`
+(`src/pca/EllipsoidExtractorMultiPlanes.cpp:707-869`): extract the object
+cloud inside the detection bbox, filter ground-plane points, isolate the
+central cluster, build a gravity-aligned frame, choose yaw, fit axes, and
+score the estimate by reprojection IoU against the detection bbox.
+
+TPU-native translation of the irregular steps:
+  * PCL voxel/statistical filtering + Euclidean clustering -> robust
+    median/MAD gating around the central depth mode (fixed-size masked ops),
+  * NormalVoter yaw histogram -> batched min-area-rectangle yaw search
+    (36 candidate yaws scored in one vmapped pass),
+  * all stages operate on a fixed-size pixel sample from the bbox.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie, quadric
+from ..core.camera import Intrinsics, backproject
+
+
+class EllipsoidFitResult(NamedTuple):
+    ellipsoid_cam: jax.Array  # (9,) minimal vector in CAMERA frame
+    prob: jax.Array  # IoU of projected bbox vs detection bbox
+    ok: jax.Array  # bool — enough supporting points
+    num_points: jax.Array  # int32
+
+
+def _sample_bbox_pixels(
+    bbox: jax.Array, num_samples: int, key: jax.Array
+) -> jax.Array:
+    """Uniform pixel sample inside bbox [umin, vmin, umax, vmax] -> (S, 2)."""
+    u = jax.random.uniform(key, (num_samples,), minval=bbox[0], maxval=bbox[2])
+    v = jax.random.uniform(
+        jax.random.fold_in(key, 1), (num_samples,), minval=bbox[1], maxval=bbox[3]
+    )
+    return jnp.stack([u, v], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("num_samples", "num_yaw"))
+def fit_ellipsoid_depth(
+    depth: jax.Array,  # (H, W)
+    bbox: jax.Array,  # (4,) detection bbox
+    ground_plane_cam: jax.Array,  # (4,) ground plane in camera frame
+    intr: Intrinsics,
+    key: jax.Array,
+    num_samples: int = 1024,
+    num_yaw: int = 36,
+    depth_min: float = 0.1,
+    depth_max: float = 8.0,
+    ground_margin: float = 0.03,
+    min_points: int = 50,
+) -> EllipsoidFitResult:
+    """Single-detection ellipsoid fit in the camera frame."""
+    H, W = depth.shape
+    uv = _sample_bbox_pixels(bbox, num_samples, key)
+    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    z = depth[vi, ui]
+    pts = backproject(jnp.stack([ui, vi], -1).astype(depth.dtype), z, intr)
+    valid = (z > depth_min) & (z < depth_max)
+
+    # Drop ground-plane points (the reference's plane filter).
+    gdist = pts @ ground_plane_cam[:3] + ground_plane_cam[3]
+    valid &= gdist > ground_margin
+
+    # Central-cluster isolation: median depth mode +- 3 MAD per axis
+    # (replaces Euclidean clustering for the dominant object blob).
+    def masked_median(x, m):
+        big = jnp.where(m, x, jnp.inf)
+        srt = jnp.sort(big)
+        cnt = jnp.sum(m)
+        mid = jnp.clip((cnt - 1) // 2, 0, x.shape[0] - 1)
+        return srt[mid]
+
+    med = jnp.stack([masked_median(pts[:, i], valid) for i in range(3)])
+    mad = jnp.stack(
+        [masked_median(jnp.abs(pts[:, i] - med[i]), valid) for i in range(3)]
+    )
+    band = jnp.maximum(3.0 * mad, 0.05)
+    core = valid & jnp.all(jnp.abs(pts - med) < band, axis=-1)
+    n_core = jnp.sum(core)
+
+    # Gravity-aligned frame: the estimator orients the ground normal toward
+    # camera-up, so +normal IS the up direction.
+    up = ground_plane_cam[:3] / jnp.linalg.norm(ground_plane_cam[:3])
+    a = jnp.where(jnp.abs(up[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    x0 = a - up * jnp.dot(a, up)
+    x0 = x0 / jnp.linalg.norm(x0)
+    y0 = jnp.cross(up, x0)
+
+    w = core.astype(pts.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    ctr = jnp.sum(pts * w[:, None], axis=0) / wsum
+    rel = pts - ctr
+    px = rel @ x0
+    py = rel @ y0
+    pz = rel @ up
+
+    yaws = jnp.linspace(0.0, jnp.pi / 2, num_yaw)
+
+    def box_area(yaw):
+        c, s = jnp.cos(yaw), jnp.sin(yaw)
+        qx = c * px + s * py
+        qy = -s * px + c * py
+        def ext(q):
+            lo = jnp.min(jnp.where(core, q, jnp.inf))
+            hi = jnp.max(jnp.where(core, q, -jnp.inf))
+            return hi - lo
+        return ext(qx) * ext(qy)
+
+    areas = jax.vmap(box_area)(yaws)
+    best_yaw = yaws[jnp.argmin(areas)]
+    c, s = jnp.cos(best_yaw), jnp.sin(best_yaw)
+    ex = c * x0 + s * y0
+    ey = -s * x0 + c * y0
+    R_co = jnp.stack([ex, ey, up], axis=1)  # object axes in camera frame
+
+    # Robust extents: 5th..95th percentile in the aligned frame.
+    q = jnp.stack([rel @ ex, rel @ ey, pz], axis=-1)  # (S, 3)
+
+    def prange(x):
+        big = jnp.sort(jnp.where(core, x, jnp.inf))
+        cnt = jnp.maximum(jnp.sum(core), 1)
+        lo = big[jnp.clip((cnt * 5) // 100, 0, x.shape[0] - 1)]
+        hi = big[jnp.clip((cnt * 95) // 100, 0, x.shape[0] - 1)]
+        return lo, hi
+
+    los, his = jax.vmap(prange, in_axes=1, out_axes=0)(q)
+    half = jnp.maximum((his - los) * 0.5, 0.02)
+    center_off = (his + los) * 0.5
+    center = ctr + R_co @ center_off
+
+    # Supporting-plane completion (parity:
+    # `EstimateLocalEllipsoidWithSupportingPlane`,
+    # `EllipsoidExtractorMultiPlanes.cpp:1059`): depth only sees the upper /
+    # front surface, so the vertical extent is reconstructed from the ground:
+    # top = 95th-percentile height above the plane, bottom = the plane.
+    gh = jnp.sort(jnp.where(core, gdist, -jnp.inf))
+    cnt = jnp.maximum(jnp.sum(core), 1)
+    pad = gdist.shape[0] - cnt  # -inf entries sort first
+    h_top = gh[jnp.clip(pad + (cnt * 95) // 100, 0, gdist.shape[0] - 1)]
+    half_up = jnp.maximum(h_top * 0.5, 0.02)
+    g_center = jnp.dot(center, ground_plane_cam[:3]) + ground_plane_cam[3]
+    center = center + up * (half_up - g_center)
+    half = half.at[2].set(half_up)
+
+    rpy = quadric.rotmat_to_euler(R_co)
+    e_cam = jnp.concatenate([center, rpy, half])
+
+    # prob = IoU of the projected ellipsoid bbox against the detection bbox
+    # (`EllipsoidExtractorMultiPlanes.cpp:854` semantics).
+    proj = quadric.project_bbox(e_cam, jnp.eye(4, dtype=depth.dtype), intr.K)
+    prob = quadric.bbox_iou(proj, bbox)
+    ok = (n_core >= min_points) & jnp.isfinite(prob)
+    return EllipsoidFitResult(
+        ellipsoid_cam=e_cam,
+        prob=jnp.where(ok, prob, 0.0),
+        ok=ok,
+        num_points=n_core,
+    )

@@ -1,0 +1,221 @@
+"""Object landmark layer: SoA ellipsoid table, IoU association, refinement.
+
+Parity map:
+  * ObjectTable            ≈ `Map::mspMapObjects` + per-object ellipsoid state
+                             (`src/MapObject.cc`, `include/Map.h:120-140`)
+  * associate_detections   ≈ `Tracking::AssociateObjectsByProjection`
+                             ellipsoid-IoU mode (`src/Tracking_util.cc:413-483`):
+                             project each live object, IoU against detection
+                             bboxes, label gate, best-match assignment
+  * integrate_keyframe     ≈ `UpdateDepthEllipsoidEstimation` + object
+                             creation (`src/Tracking_util.cc:848-1078`,
+                             `LocalMapping_util.cc:293`)
+  * refine_objects         ≈ per-object quadric optimization with gravity /
+                             support priors (PriorInfer-style)
+  * merge_duplicates       ≈ `AssociateObjects3D`/`MergeMapObject` center-
+                             distance fusion (`LocalMapping_util.cc:900-960`)
+
+All object state is fixed-capacity, vmap-refined, jit-safe.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import lie, quadric
+from ..opt.quadric_factors import ObjectObservations, refine_object
+
+
+class ObjectTable(NamedTuple):
+    ellipsoid: jax.Array  # (Omax, 9) world-frame minimal vectors
+    label: jax.Array  # (Omax,) int32
+    prob: jax.Array  # (Omax,) f32 running confidence
+    obs_count: jax.Array  # (Omax,) int32
+    valid: jax.Array  # (Omax,) bool
+    num_objects: jax.Array  # () int32
+    # per-object observation ring (bbox history for refinement)
+    obs_Tcw: jax.Array  # (Omax, M, 4, 4)
+    obs_bbox: jax.Array  # (Omax, M, 4)
+    obs_weight: jax.Array  # (Omax, M)
+    obs_next: jax.Array  # (Omax,) int32 ring cursor
+
+
+def empty_objects(omax: int = 32, obs_per_object: int = 16) -> ObjectTable:
+    return ObjectTable(
+        ellipsoid=jnp.zeros((omax, 9), jnp.float32),
+        label=jnp.full(omax, -1, jnp.int32),
+        prob=jnp.zeros(omax, jnp.float32),
+        obs_count=jnp.zeros(omax, jnp.int32),
+        valid=jnp.zeros(omax, bool),
+        num_objects=jnp.int32(0),
+        obs_Tcw=jnp.tile(jnp.eye(4, dtype=jnp.float32), (omax, obs_per_object, 1, 1)),
+        obs_bbox=jnp.zeros((omax, obs_per_object, 4), jnp.float32),
+        obs_weight=jnp.zeros((omax, obs_per_object), jnp.float32),
+        obs_next=jnp.zeros(omax, jnp.int32),
+    )
+
+
+class Associations(NamedTuple):
+    obj_for_det: jax.Array  # (D,) int32 — object id per detection (-1 = new)
+    iou: jax.Array  # (D,) f32
+
+
+@partial(jax.jit, static_argnames=())
+def associate_detections(
+    table: ObjectTable,
+    Tcw: jax.Array,
+    K: jax.Array,
+    det_bbox: jax.Array,  # (D, 4)
+    det_label: jax.Array,  # (D,)
+    det_valid: jax.Array,  # (D,)
+    iou_threshold: float = 0.3,
+) -> Associations:
+    """Project live objects, IoU-match against detections with label gate."""
+    proj = quadric.project_bbox(table.ellipsoid, Tcw[None], K)  # (O, 4)
+    front = quadric.check_observability(table.ellipsoid, Tcw[None])
+    iou = quadric.bbox_iou(proj[None, :, :], det_bbox[:, None, :])  # (D, O)
+    label_ok = det_label[:, None] == table.label[None, :]
+    gate = (
+        label_ok
+        & table.valid[None, :]
+        & front[None, :]
+        & det_valid[:, None]
+        & (iou > iou_threshold)
+    )
+    iou_g = jnp.where(gate, iou, -1.0)
+    best = jnp.argmax(iou_g, axis=1)
+    best_iou = jnp.take_along_axis(iou_g, best[:, None], 1)[:, 0]
+    # One detection per object: keep the best-IoU claimant.
+    obj = jnp.where(best_iou > 0.0, best.astype(jnp.int32), -1)
+    obj_safe = jnp.where(obj >= 0, obj, table.ellipsoid.shape[0] - 1)
+    best_for_obj = jax.ops.segment_max(
+        jnp.where(obj >= 0, best_iou, -1.0),
+        obj_safe,
+        num_segments=table.ellipsoid.shape[0],
+    )
+    keep = (obj >= 0) & (best_iou >= best_for_obj[obj_safe])
+    return Associations(obj_for_det=jnp.where(keep, obj, -1), iou=best_iou)
+
+
+def _push_observation(table: ObjectTable, oid, Tcw, bbox, weight):
+    """Append one (pose, bbox) observation into the object's ring buffer."""
+    M = table.obs_bbox.shape[1]
+    cur = table.obs_next[oid] % M
+    return table._replace(
+        obs_Tcw=table.obs_Tcw.at[oid, cur].set(Tcw),
+        obs_bbox=table.obs_bbox.at[oid, cur].set(bbox),
+        obs_weight=table.obs_weight.at[oid, cur].set(weight),
+        obs_next=table.obs_next.at[oid].add(1),
+        obs_count=table.obs_count.at[oid].add(1),
+    )
+
+
+@partial(jax.jit, static_argnames=())
+def integrate_keyframe(
+    table: ObjectTable,
+    Tcw: jax.Array,
+    det_bbox: jax.Array,  # (D, 4)
+    det_label: jax.Array,
+    det_prob: jax.Array,
+    det_valid: jax.Array,
+    det_ellipsoid_cam: jax.Array,  # (D, 9) single-frame fits (camera frame)
+    det_fit_ok: jax.Array,  # (D,) bool
+    assoc: Associations,
+) -> ObjectTable:
+    """Fold one keyframe's detections into the object table.
+
+    Associated detections push a bbox observation (and bump confidence);
+    unassociated detections with a good depth fit spawn new objects with the
+    camera-frame ellipsoid transformed to world.
+    """
+    D = det_bbox.shape[0]
+    Omax = table.ellipsoid.shape[0]
+    T_wc = lie.inv_se3(Tcw)
+
+    def fold_det(i, tb):
+        oid = assoc.obj_for_det[i]
+        is_assoc = (oid >= 0) & det_valid[i]
+
+        def do_assoc(tb):
+            tb = _push_observation(tb, oid, Tcw, det_bbox[i], det_prob[i])
+            return tb._replace(
+                prob=tb.prob.at[oid].set(
+                    jnp.minimum(tb.prob[oid] + 0.1 * det_prob[i], 1.0)
+                )
+            )
+
+        def do_new(tb):
+            can_new = det_valid[i] & det_fit_ok[i] & (tb.num_objects < Omax)
+            nid = jnp.clip(tb.num_objects, 0, Omax - 1)
+            e_w = quadric.transform_ellipsoid(det_ellipsoid_cam[i], T_wc)
+
+            def create(tb):
+                tb = tb._replace(
+                    ellipsoid=tb.ellipsoid.at[nid].set(e_w),
+                    label=tb.label.at[nid].set(det_label[i]),
+                    prob=tb.prob.at[nid].set(0.2 * det_prob[i]),
+                    valid=tb.valid.at[nid].set(True),
+                    num_objects=tb.num_objects + 1,
+                )
+                return _push_observation(tb, nid, Tcw, det_bbox[i], det_prob[i])
+
+            return jax.lax.cond(can_new, create, lambda t: t, tb)
+
+        return jax.lax.cond(is_assoc, do_assoc, do_new, tb)
+
+    return jax.lax.fori_loop(0, D, fold_det, table)
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def refine_objects(
+    table: ObjectTable,
+    K: jax.Array,
+    ground_plane_w: jax.Array,
+    iters: int = 8,
+) -> ObjectTable:
+    """vmapped multi-view LM refinement of every valid object."""
+    def one(e, Tcw, bbox, w, valid):
+        obs = ObjectObservations(Tcw=Tcw, bbox=bbox, weight=w)
+        e_new, _ = refine_object(e, obs, K, ground_plane_w, iters=iters)
+        enough = jnp.sum(w > 0) >= 2
+        return jnp.where(valid & enough, e_new, e)
+
+    e_ref = jax.vmap(one)(
+        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight, table.valid
+    )
+    return table._replace(ellipsoid=e_ref)
+
+
+@partial(jax.jit, static_argnames=())
+def merge_duplicates(
+    table: ObjectTable, dist_threshold: float = 0.5
+) -> ObjectTable:
+    """Fuse same-label objects whose centers are near-coincident.
+
+    Parity: `AssociateObjects3D` center-distance merge
+    (`LocalMapping_util.cc:900-960`); the lower-id object absorbs the other's
+    confidence, the duplicate is invalidated.
+    """
+    c = table.ellipsoid[:, 0:3]
+    d = jnp.linalg.norm(c[:, None, :] - c[None, :, :], axis=-1)
+    same = (
+        (table.label[:, None] == table.label[None, :])
+        & table.valid[:, None]
+        & table.valid[None, :]
+        & (d < dist_threshold)
+    )
+    O = c.shape[0]
+    ids = jnp.arange(O)
+    lower = same & (ids[None, :] < ids[:, None])  # j < i duplicates i
+    dup_of_any = lower.any(axis=1)
+    absorb = jnp.einsum(
+        "ij,i->j", lower.astype(table.prob.dtype), table.prob
+    )
+    return table._replace(
+        valid=table.valid & ~dup_of_any,
+        prob=jnp.minimum(table.prob + absorb, 1.0),
+    )

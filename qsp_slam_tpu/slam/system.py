@@ -18,9 +18,19 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie
+from ..perception.ellipsoid_fit import fit_ellipsoid_depth
+from ..perception.groundplane import estimate_ground_plane
 from . import map as mapmod
 from .local_mapping import local_ba_step
 from .map import MapState
+from .objects import (
+    ObjectTable,
+    associate_detections,
+    empty_objects,
+    integrate_keyframe,
+    merge_duplicates,
+    refine_objects,
+)
 from .tracking import (
     FrameData,
     TrackingConfig,
@@ -39,7 +49,11 @@ class SlamSystem:
     nmax: int = 8192
     emax: int = 65536
     ba_window: int = 8
+    omax: int = 32
+    enable_objects: bool = True
     map_state: MapState = field(init=False)
+    objects: ObjectTable = field(init=False)
+    ground_plane: Optional[np.ndarray] = None  # world-frame (4,)
     Tcw: np.ndarray = field(init=False)
     velocity: np.ndarray = field(init=False)
     initialized: bool = False
@@ -47,16 +61,27 @@ class SlamSystem:
     inliers_at_last_kf: int = 0
     trajectory: list = field(default_factory=list)
     stats: dict = field(default_factory=lambda: {"frames": 0, "keyframes": 0,
-                                                 "track_ms": [], "ba_ms": []})
+                                                 "track_ms": [], "ba_ms": [],
+                                                 "obj_ms": []})
 
     def __post_init__(self):
         self.map_state = mapmod.empty_map(self.kmax, self.nmax, self.emax)
+        self.objects = empty_objects(self.omax)
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
+        self._pending_detections = None
+        self._pending_depth = None
 
     # ------------------------------------------------------------------
-    def track_rgbd(self, gray, depth) -> np.ndarray:
-        """Process one RGB-D frame; returns the estimated T_cw."""
+    def track_rgbd(self, gray, depth, detections=None) -> np.ndarray:
+        """Process one RGB-D frame; returns the estimated T_cw.
+
+        `detections` (optional): dict with "bbox" (D,4), "label" (D,),
+        "prob" (D,), "valid" (D,) — the cached-detection replay seam
+        (reference `detect_online: false`).  Consumed at keyframe time.
+        """
+        self._pending_detections = detections
+        self._pending_depth = depth
         cfg = self.cfg
         frame = process_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
 
@@ -109,6 +134,8 @@ class SlamSystem:
         self.inliers_at_last_kf = int(jnp.sum(frame.depth > 0))
         self.frames_since_kf = 0
         self.stats["keyframes"] += 1
+        if self.enable_objects and self._pending_detections is not None:
+            self._process_objects(self._pending_detections, self._pending_depth)
 
     def _insert_keyframe(self, frame: FrameData, res: TrackResult):
         self.map_state = keyframe_insertion(
@@ -124,6 +151,57 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.inliers_at_last_kf = int(res.num_inliers)
         self.stats["keyframes"] += 1
+        if self.enable_objects and self._pending_detections is not None:
+            t0 = time.perf_counter()
+            self._process_objects(self._pending_detections, self._pending_depth)
+            self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
+
+    # ------------------------------------------------------------------
+    def _process_objects(self, detections, depth):
+        """Keyframe-time object pipeline (`UpdateObjectObservation` path):
+        ground plane (once) -> per-detection ellipsoid fit -> association ->
+        table integration -> multi-view refinement -> duplicate merge."""
+        cfg = self.cfg
+        Tcw = jnp.asarray(self.Tcw)
+        depth = jnp.asarray(depth)
+        kf_id = int(self.map_state.num_kfs) - 1
+
+        if self.ground_plane is None:
+            gp = estimate_ground_plane(depth, cfg.intr, jax.random.PRNGKey(kf_id))
+            if bool(gp.ok):
+                # Store in world frame: pi_w = T_cw^T pi_c (planes transform
+                # by the inverse-transpose of the point map; see core.plane).
+                from ..core import plane as plane_mod
+
+                pi_w = plane_mod.transform(gp.plane, lie.inv_se3(Tcw))
+                self.ground_plane = np.asarray(pi_w)
+            else:
+                return  # objects wait for a gravity reference
+        pi_w = jnp.asarray(self.ground_plane)
+        from ..core import plane as plane_mod
+
+        pi_cam = plane_mod.transform(pi_w, Tcw)
+
+        bbox = jnp.asarray(detections["bbox"], jnp.float32)
+        label = jnp.asarray(detections["label"], jnp.int32)
+        prob = jnp.asarray(detections["prob"], jnp.float32)
+        dvalid = jnp.asarray(detections["valid"])
+
+        D = bbox.shape[0]
+        keys = jax.random.split(jax.random.PRNGKey(1000 + kf_id), D)
+        fits = jax.vmap(
+            lambda b, k: fit_ellipsoid_depth(depth, b, pi_cam, cfg.intr, k)
+        )(bbox, keys)
+
+        assoc = associate_detections(
+            self.objects, Tcw, cfg.intr.K, bbox, label, dvalid
+        )
+        self.objects = integrate_keyframe(
+            self.objects, Tcw, bbox, label, prob, dvalid,
+            fits.ellipsoid_cam, fits.ok & dvalid, assoc,
+        )
+        self.objects = refine_objects(self.objects, cfg.intr.K, pi_w)
+        self.objects = jax.block_until_ready(merge_duplicates(self.objects))
 
     # ------------------------------------------------------------------
     def summary(self) -> dict:
@@ -134,6 +212,7 @@ class SlamSystem:
             "keyframes": self.stats["keyframes"],
             "num_points": int(self.map_state.num_pts),
             "num_obs": int(self.map_state.num_obs),
+            "num_objects": int(jnp.sum(self.objects.valid)),
             "track_ms_median": float(np.median(tm)) if tm else None,
             "ba_ms_median": float(np.median(bm)) if bm else None,
         }
