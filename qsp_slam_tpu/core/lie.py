@@ -81,25 +81,32 @@ def log_so3(R: jax.Array) -> jax.Array:
     """
     trace = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
     cos_t = jnp.clip((trace - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
-    # Generic branch: w = theta/(2 sin theta) * vee(R - R^T)
-    sin_t = jnp.sin(theta)
+    w_skew = vee(R - jnp.swapaxes(R, -1, -2))  # = 2 sin(theta) * axis
+    s2 = jnp.sum(w_skew * w_skew, axis=-1)  # = 4 sin^2(theta)
+    # atan2-based theta: finite derivatives at the identity, where
+    # d(arccos)/dx blows up — pose-graph edges sit exactly there.
+    sin_t = 0.5 * jnp.sqrt(s2 + 1e-24)
+    theta = jnp.arctan2(sin_t, cos_t)
     near_0 = theta < 1e-4
-    # arccos loses ~sqrt(eps) precision near -1 (f32: ~4e-4 in theta), so the
-    # pi-branch must engage well before the generic formula degenerates.
+    # The pi-branch must engage well before the generic formula degenerates
+    # (sin theta in the denominator).
     near_pi = (jnp.pi - theta) < 5e-3
     generic = ~(near_0 | near_pi)
     k_generic = _safe_div(theta, 2.0 * sin_t, ~generic)
-    w_skew = vee(R - jnp.swapaxes(R, -1, -2))
-    # theta -> 0: w ~ 0.5 * (1 + theta^2/6) * vee(R - R^T)
-    k_small = 0.5 + theta * theta / 12.0
+    # theta -> 0: w ~ 0.5 * (1 + theta^2/6) * vee(R - R^T); theta^2 ~ s2/4
+    # (expressed via s2 so the Taylor term differentiates cleanly at 0).
+    k_small = 0.5 + s2 / 48.0
     k = jnp.where(generic, k_generic, k_small)
     w_gen = k[..., None] * w_skew
     # theta -> pi: axis magnitudes from the diagonal of S = R + R^T
     # (S = 2 cos(t) I + 2 (1 - cos t) aa^T), signs from S's dominant column.
     S = R + jnp.swapaxes(R, -1, -2)
     diag = jnp.stack([S[..., 0, 0], S[..., 1, 1], S[..., 2, 2]], axis=-1)
-    axis2 = jnp.clip((diag + (1.0 - trace[..., None])) / (3.0 - trace[..., None]), 0.0, None)
+    # Guard the denominator for the non-pi case: 3 - trace -> 0 near the
+    # identity, and although `where` masks the primal, unguarded NaN/inf
+    # tangents would poison autodiff through the other branch.
+    denom_pi = jnp.where(near_pi, 3.0 - trace, jnp.ones_like(trace))[..., None]
+    axis2 = jnp.clip((diag + (1.0 - trace[..., None])) / denom_pi, 0.0, None)
     axis = jnp.sqrt(axis2 + 1e-24)
     jmax = jnp.argmax(axis2, axis=-1)
     onehot = jax.nn.one_hot(jmax, 3, dtype=R.dtype)
@@ -208,50 +215,25 @@ def adjoint_se3(T: jax.Array) -> jax.Array:
 
 
 def _sim3_W(w: jax.Array, s: jax.Array) -> jax.Array:
-    """The Sim(3) 'W' matrix so that t = W v  (analogue of the left Jacobian).
+    """The Sim(3) 'W' matrix so that t = W v (analogue of the left Jacobian).
 
-    Mirrors the closed form used by the reference shape optimizer
-    (`reconstruct/loss_utils.py:188-233`): with theta = |w|, e_s = exp(s),
-      W = c I + k1/theta * w_hat + k2/theta^2 * w_hat^2,
-      c  = (e_s - 1)/s,
-      k1 = (s a + (1 - b) theta) / (s^2 + theta^2),
-      k2 = c - ((b - 1) s + a theta) / (s^2 + theta^2),
-      a = e_s sin(theta), b = e_s cos(theta).
+    Same semantics as the reference's closed form
+    (`reconstruct/loss_utils.py:188-233`), computed as the matrix series
+        W = int_0^1 exp(t (s I + w_hat)) dt = sum_n B^n / (n+1)!,
+    B = s I + w_hat (valid because s I commutes with w_hat).  The series is
+    branch-free and smooth, which matters twice over: the closed form
+    catastrophically cancels in f32 for small |s| (errors ~1e7 x), and its
+    `where` guards produce NaN tangents under autodiff.  20 terms give
+    ~1e-8 error up to |w| = pi.
     """
-    theta2 = jnp.sum(w * w, axis=-1)
-    small_t = theta2 < _EPS
-    theta = jnp.sqrt(jnp.where(small_t, jnp.ones_like(theta2), theta2))
-    e_s = jnp.exp(s)
-    small_s = jnp.abs(s) < _EPS
-    c = jnp.where(small_s, 1.0 + s / 2.0 + s * s / 6.0, _safe_div(e_s - 1.0, s, small_s))
-    a = e_s * jnp.sin(theta)
-    b = e_s * jnp.cos(theta)
-    denom = s * s + theta2
-    small_d = denom < _EPS
-    k1 = _safe_div(a * s + (1.0 - b) * theta, denom, small_d)
-    k2 = c - _safe_div((b - 1.0) * s + a * theta, denom, small_d)
-    W = hat(w)
-    W2 = W @ W
-    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), W.shape)
-    # theta -> 0 limit of k1/theta is ((s-1)e^s + 1)/s^2, which itself -> 1/2 as s -> 0.
-    k1t_limit = jnp.where(
-        small_s,
-        0.5 * jnp.ones_like(s),
-        _safe_div((s - 1.0) * e_s + 1.0, s * s, small_s),
-    )
-    k1_over_t = jnp.where(small_t, k1t_limit, _safe_div(k1, theta, small_t))
-    # theta -> 0 limit of k2/theta^2 is ((e^s - 1) - s e^s + s^2 e^s / 2)/s^3 -> 1/6 as s -> 0.
-    k2t2_limit = jnp.where(
-        small_s,
-        jnp.full_like(s, 1.0 / 6.0),
-        _safe_div(e_s - 1.0 - s * e_s + 0.5 * s * s * e_s, s * s * s, small_s),
-    )
-    k2_over_t2 = jnp.where(small_t, k2t2_limit, _safe_div(k2, theta2, small_t))
-    return (
-        c[..., None, None] * eye
-        + k1_over_t[..., None, None] * W
-        + k2_over_t2[..., None, None] * W2
-    )
+    B = hat(w) + s[..., None, None] * jnp.eye(3, dtype=w.dtype)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), B.shape)
+    W = eye  # n = 0 term: I / 1!
+    term = eye
+    for n in range(1, 20):
+        term = term @ B / (n + 1)
+        W = W + term
+    return W
 
 
 def exp_sim3(xi: jax.Array) -> jax.Array:

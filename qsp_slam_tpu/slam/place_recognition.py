@@ -1,0 +1,87 @@
+"""Appearance-based place recognition: bag-of-binary-words as matmuls.
+
+Replaces DBoW2 (`Thirdparty/DBoW2`, `KeyFrameDatabase`
+`src/KeyFrameDatabase.cc:76-199`).  TPU-native re-design (SURVEY.md §2.6):
+  * the vocabulary is a deterministic random set of W binary centroids in
+    ±1 form — no offline training artifact needed (descriptors in this
+    framework are self-consistent, see frontend.orb);
+  * quantization of a frame's 256-bit descriptors to words = one int8
+    matmul + argmax;
+  * a frame signature is its tf-normalized word histogram; database
+    scoring = one (K, W) x (W,) matvec — the inverted index becomes a
+    dense similarity product, which at SLAM scale (hundreds of keyframes)
+    is faster on the MXU than pointer chasing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..frontend.orb import DESC_BITS
+
+NUM_WORDS = 512
+
+
+def _make_vocab(seed: int = 11, words: int = NUM_WORDS) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.choice([-1, 1], size=(words, DESC_BITS)).astype(np.int8)
+
+
+_VOCAB = _make_vocab()
+
+
+@jax.jit
+def bow_signature(desc_pm: jax.Array, valid: jax.Array) -> jax.Array:
+    """Frame descriptor table (F, 256) ±1 -> normalized word histogram (W,)."""
+    vocab = jnp.asarray(_VOCAB)
+    sim = jax.lax.dot_general(
+        desc_pm, vocab, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (F, W): agreement count; hamming = (256 - sim)/2
+    word = jnp.argmax(sim, axis=-1)
+    hist = jnp.bincount(
+        jnp.where(valid, word, NUM_WORDS), length=NUM_WORDS + 1
+    )[:NUM_WORDS].astype(jnp.float32)
+    n = jnp.linalg.norm(hist)
+    return hist / jnp.where(n == 0, 1.0, n)
+
+
+class PlaceDatabase(NamedTuple):
+    """Fixed-capacity signature store, one row per keyframe."""
+
+    signatures: jax.Array  # (Kmax, W)
+    count: jax.Array  # () int32
+
+
+def empty_database(kmax: int = 64) -> PlaceDatabase:
+    return PlaceDatabase(
+        signatures=jnp.zeros((kmax, NUM_WORDS), jnp.float32), count=jnp.int32(0)
+    )
+
+
+@jax.jit
+def add_signature(db: PlaceDatabase, sig: jax.Array) -> PlaceDatabase:
+    return PlaceDatabase(
+        signatures=db.signatures.at[db.count].set(sig), count=db.count + 1
+    )
+
+
+@jax.jit
+def query(
+    db: PlaceDatabase, sig: jax.Array, exclude_recent: int = 10
+) -> tuple[jax.Array, jax.Array]:
+    """Cosine scores against all stored keyframes; recent ones masked out.
+
+    Returns (best_kf_id, best_score); callers threshold (parity with
+    `DetectLoopCandidates` minimum-score gating).
+    """
+    scores = db.signatures @ sig  # (Kmax,)
+    kf_ids = jnp.arange(db.signatures.shape[0])
+    ok = (kf_ids < db.count - exclude_recent)
+    scores = jnp.where(ok, scores, -1.0)
+    best = jnp.argmax(scores)
+    return best.astype(jnp.int32), scores[best]
