@@ -20,8 +20,16 @@ import jax.numpy as jnp
 from ..core import lie
 from ..perception.ellipsoid_fit import fit_ellipsoid_depth
 from ..perception.groundplane import estimate_ground_plane
+from ..core.camera import backproject
 from . import map as mapmod
 from .local_mapping import local_ba_step
+from .loop_closing import (
+    LoopState,
+    correct_loop,
+    detect_loop,
+    empty_loop_state,
+    snapshot_keyframe,
+)
 from .map import MapState
 from .objects import (
     ObjectTable,
@@ -51,7 +59,10 @@ class SlamSystem:
     ba_window: int = 8
     omax: int = 32
     enable_objects: bool = True
+    enable_loop_closing: bool = True
     map_state: MapState = field(init=False)
+    loop_state: LoopState = field(init=False)
+    loops_closed: int = 0
     objects: ObjectTable = field(init=False)
     ground_plane: Optional[np.ndarray] = None  # world-frame (4,)
     Tcw: np.ndarray = field(init=False)
@@ -67,6 +78,7 @@ class SlamSystem:
     def __post_init__(self):
         self.map_state = mapmod.empty_map(self.kmax, self.nmax, self.emax)
         self.objects = empty_objects(self.omax)
+        self.loop_state = empty_loop_state(self.kmax)
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
         self._pending_detections = None
@@ -136,6 +148,8 @@ class SlamSystem:
         self.stats["keyframes"] += 1
         if self.enable_objects and self._pending_detections is not None:
             self._process_objects(self._pending_detections, self._pending_depth)
+        if self.enable_loop_closing:
+            self._loop_closing(frame, 0)
 
     def _insert_keyframe(self, frame: FrameData, res: TrackResult):
         self.map_state = keyframe_insertion(
@@ -155,6 +169,34 @@ class SlamSystem:
             t0 = time.perf_counter()
             self._process_objects(self._pending_detections, self._pending_depth)
             self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
+        if self.enable_loop_closing:
+            self._loop_closing(frame, kf_id)
+
+    # ------------------------------------------------------------------
+    def _loop_closing(self, frame: FrameData, kf_id: int):
+        """Snapshot the keyframe, query for loops, correct on a hit
+        (`LoopClosing::Run` same-thread equivalent)."""
+        cfg = self.cfg
+        pts_cam = backproject(frame.feats.xy, frame.depth, cfg.intr)
+        pts_ok = frame.depth > 0.0
+        self.loop_state = snapshot_keyframe(
+            self.loop_state, frame.feats.desc_pm, frame.feats.valid,
+            pts_cam, pts_ok,
+        )
+        if kf_id < 12:  # need history before loops are meaningful
+            return
+        det = detect_loop(
+            self.loop_state, frame.feats.desc_pm, frame.feats.valid,
+            pts_cam, pts_ok, jax.random.PRNGKey(77 + kf_id),
+        )
+        if bool(det.found):
+            self.map_state, self.objects = correct_loop(
+                self.map_state, self.objects, jnp.int32(kf_id), det,
+            )
+            self.map_state = jax.block_until_ready(self.map_state)
+            self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
+            self.velocity = np.eye(4, dtype=np.float32)
+            self.loops_closed += 1
 
     # ------------------------------------------------------------------
     def _process_objects(self, detections, depth):
@@ -213,6 +255,7 @@ class SlamSystem:
             "num_points": int(self.map_state.num_pts),
             "num_obs": int(self.map_state.num_obs),
             "num_objects": int(jnp.sum(self.objects.valid)),
+            "loops_closed": self.loops_closed,
             "track_ms_median": float(np.median(tm)) if tm else None,
             "ba_ms_median": float(np.median(bm)) if bm else None,
         }
