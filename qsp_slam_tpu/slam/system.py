@@ -110,7 +110,15 @@ class SlamSystem:
 
         num_inliers = int(res.num_inliers)
         Tcw_new = np.asarray(res.Tcw)
-        if num_inliers >= cfg.min_track_inliers:
+        # Sanity gate: the windowed search is only meaningful near the
+        # prediction; a "solution" far from it is a repetitive-texture
+        # mismatch, not tracking (the reference encodes the same assumption
+        # through its small search radii).
+        dev = np.asarray(
+            lie.log_se3(jnp.asarray(Tcw_new @ np.linalg.inv(np.asarray(Tcw_pred))))
+        )
+        consistent = np.linalg.norm(dev[:3]) < 0.5 and np.linalg.norm(dev[3:]) < 0.5
+        if num_inliers >= cfg.min_track_inliers and consistent:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
             self.frames_since_kf += 1
@@ -119,9 +127,25 @@ class SlamSystem:
             ):
                 self._insert_keyframe(frame, res)
         else:
-            # Lost: keep constant-velocity prediction (reference would try
-            # relocalization, which needs the BoW layer — phase 2).
-            self.Tcw = np.asarray(Tcw_pred)
+            # Lost: attempt relocalization against the keyframe database
+            # (`Tracking::Relocalization` path); fall back to the constant-
+            # velocity prediction if it fails.
+            relocated = False
+            if self.enable_loop_closing and int(self.loop_state.db.count) > 0:
+                from .relocalization import relocalize
+
+                r = relocalize(
+                    self.loop_state, self.map_state.kf_Tcw, frame, cfg,
+                    jax.random.PRNGKey(900 + self.stats["frames"]),
+                )
+                if bool(r.ok):
+                    self.Tcw = np.asarray(r.Tcw)
+                    self.velocity = np.eye(4, dtype=np.float32)
+                    relocated = True
+                    self.stats.setdefault("relocalizations", 0)
+                    self.stats["relocalizations"] += 1
+            if not relocated:
+                self.Tcw = np.asarray(Tcw_pred)
         self.stats["frames"] += 1
         self.trajectory.append(self.Tcw.copy())
         return self.Tcw
