@@ -1,0 +1,96 @@
+"""TUM RGB-D CLI — the `qsp_slam_rgbd` entry point equivalent.
+
+Parity: `qsp_slam_rgbd.cc:54-326` — per-frame loop with skip/ratio
+subsampling, track-time telemetry, final trajectory/map/artifact saves.
+
+    python -m qsp_slam_tpu.run_tum SEQUENCE_DIR [--config seq.yaml]
+        [--save-dir out] [--skip N] [--max-frames F] [--detections DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import resource
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sequence")
+    ap.add_argument("--config", default=None, help="sequence YAML")
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--skip", type=int, default=1, help="process every Nth frame")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--detections", default=None,
+        help="directory of per-frame detection caches (<idx>.npz replay seam)",
+    )
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from qsp_slam_tpu.data.io import (
+        load_detection_cache,
+        save_map,
+        save_trajectory_tum,
+    )
+    from qsp_slam_tpu.data.tum import TumSequence
+    from qsp_slam_tpu.eval.ate import ate_rmse
+    from qsp_slam_tpu.slam.system import SlamSystem
+    from qsp_slam_tpu.slam.tracking import TrackingConfig
+    from qsp_slam_tpu.viz.export import export_scene
+
+    if args.config:
+        from qsp_slam_tpu.slam.config import tracking_config_from_yaml
+
+        cfg = tracking_config_from_yaml(args.config)
+    else:
+        cfg = TrackingConfig()
+
+    seq = TumSequence(args.sequence)
+    sysm = SlamSystem(cfg)
+    timestamps = []
+    gt = []
+    for idx in range(0, len(seq), args.skip):
+        if args.max_frames and len(timestamps) >= args.max_frames:
+            break
+        gray, depth, t, T_cw_gt = seq.load(idx)
+        det = None
+        if args.detections:
+            p = os.path.join(args.detections, f"{idx}.npz")
+            if os.path.exists(p):
+                det = load_detection_cache(p)
+        sysm.track_rgbd(gray, depth, det)
+        timestamps.append(t)
+        gt.append(T_cw_gt)
+        if len(timestamps) % 50 == 0:
+            rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss // 1024
+            print(
+                f"[{len(timestamps)}] kfs={sysm.stats['keyframes']} rss={rss}MB",
+                file=sys.stderr,
+            )
+
+    out = sysm.summary()
+    est = np.stack(sysm.trajectory)
+    if all(g is not None for g in gt) and gt:
+        out["ate_rmse_m"] = ate_rmse(est, np.stack(gt))
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        save_trajectory_tum(
+            os.path.join(args.save_dir, "CameraTrajectory.txt"), timestamps, est
+        )
+        save_map(os.path.join(args.save_dir, "map.npz"), sysm.map_state, sysm.objects)
+        export_scene(args.save_dir, sysm.map_state, sysm.objects, trajectory=est)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
