@@ -38,6 +38,8 @@ class LoopState(NamedTuple):
     kf_desc: jax.Array  # (Kmax, S, 256) int8 snapshot of each KF's features
     kf_pts_cam: jax.Array  # (Kmax, S, 3) camera-frame 3D points per feature
     kf_pts_ok: jax.Array  # (Kmax, S) bool
+    kf_xy: jax.Array  # (Kmax, S, 2) pixel positions (mono triangulation seam)
+    kf_feat_ok: jax.Array  # (Kmax, S) bool — feature validity (indep. of depth)
 
 
 def empty_loop_state(kmax: int = 64, snap: int = 384) -> LoopState:
@@ -46,6 +48,8 @@ def empty_loop_state(kmax: int = 64, snap: int = 384) -> LoopState:
         kf_desc=jnp.zeros((kmax, snap, DESC_BITS), jnp.int8),
         kf_pts_cam=jnp.zeros((kmax, snap, 3), jnp.float32),
         kf_pts_ok=jnp.zeros((kmax, snap), bool),
+        kf_xy=jnp.zeros((kmax, snap, 2), jnp.float32),
+        kf_feat_ok=jnp.zeros((kmax, snap), bool),
     )
 
 
@@ -56,6 +60,7 @@ def snapshot_keyframe(
     feat_valid: jax.Array,  # (F,)
     pts_cam: jax.Array,  # (F, 3) camera-frame backprojections (depth)
     pts_ok: jax.Array,  # (F,)
+    xy: jax.Array,  # (F, 2) pixel positions
 ) -> LoopState:
     """Store a fixed-size snapshot (strongest-first order assumed) + signature."""
     S = ls.kf_desc.shape[1]
@@ -66,6 +71,8 @@ def snapshot_keyframe(
         kf_desc=ls.kf_desc.at[kid].set(desc_pm[:S]),
         kf_pts_cam=ls.kf_pts_cam.at[kid].set(pts_cam[:S]),
         kf_pts_ok=ls.kf_pts_ok.at[kid].set(pts_ok[:S] & feat_valid[:S]),
+        kf_xy=ls.kf_xy.at[kid].set(xy[:S]),
+        kf_feat_ok=ls.kf_feat_ok.at[kid].set(feat_valid[:S]),
     )
 
 

@@ -172,8 +172,7 @@ class SlamSystem:
         self.stats["keyframes"] += 1
         if self.enable_objects and self._pending_detections is not None:
             self._process_objects(self._pending_detections, self._pending_depth)
-        if self.enable_loop_closing:
-            self._loop_closing(frame, 0)
+        self._loop_closing(frame, 0)
 
     def _insert_keyframe(self, frame: FrameData, res: TrackResult):
         self.map_state = keyframe_insertion(
@@ -193,21 +192,21 @@ class SlamSystem:
             t0 = time.perf_counter()
             self._process_objects(self._pending_detections, self._pending_depth)
             self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
-        if self.enable_loop_closing:
-            self._loop_closing(frame, kf_id)
+        self._loop_closing(frame, kf_id)
 
     # ------------------------------------------------------------------
     def _loop_closing(self, frame: FrameData, kf_id: int):
-        """Snapshot the keyframe, query for loops, correct on a hit
-        (`LoopClosing::Run` same-thread equivalent)."""
+        """Snapshot the keyframe (always — the store also feeds mono
+        triangulation and relocalization), then query for loops and correct
+        on a hit (`LoopClosing::Run` same-thread equivalent)."""
         cfg = self.cfg
         pts_cam = backproject(frame.feats.xy, frame.depth, cfg.intr)
         pts_ok = frame.depth > 0.0
         self.loop_state = snapshot_keyframe(
             self.loop_state, frame.feats.desc_pm, frame.feats.valid,
-            pts_cam, pts_ok,
+            pts_cam, pts_ok, frame.feats.xy,
         )
-        if kf_id < 12:  # need history before loops are meaningful
+        if not self.enable_loop_closing or kf_id < 12:
             return
         det = detect_loop(
             self.loop_state, frame.feats.desc_pm, frame.feats.valid,
@@ -268,6 +267,125 @@ class SlamSystem:
         )
         self.objects = refine_objects(self.objects, cfg.intr.K, pi_w)
         self.objects = jax.block_until_ready(merge_duplicates(self.objects))
+
+    # ------------------------------------------------------------------
+    # Monocular mode (`System::TrackMonocular` equivalent)
+    # ------------------------------------------------------------------
+    def track_mono(self, gray) -> np.ndarray:
+        """Monocular frame: two-view bootstrap, then the common tracking loop
+        with triangulation-based map growth (scale is the mono gauge)."""
+        cfg = self.cfg
+        zero_depth = np.zeros((cfg.height, cfg.width), np.float32)
+        frame = process_frame(jnp.asarray(gray), jnp.asarray(zero_depth), cfg)
+
+        if not self.initialized:
+            self._mono_bootstrap(frame)
+            self.trajectory.append(self.Tcw.copy())
+            return self.Tcw
+
+        Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
+        res: TrackResult = track_frame(self.map_state, Tcw_pred, frame, cfg)
+        num_inliers = int(res.num_inliers)
+        if num_inliers >= cfg.min_track_inliers:
+            Tcw_new = np.asarray(res.Tcw)
+            self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
+            self.Tcw = Tcw_new
+            self.frames_since_kf += 1
+            if need_keyframe(
+                self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
+            ):
+                self._insert_mono_keyframe(frame, res)
+        else:
+            self.Tcw = np.asarray(Tcw_pred)
+        self.stats["frames"] += 1
+        self.trajectory.append(self.Tcw.copy())
+        return self.Tcw
+
+    def _mono_bootstrap(self, frame: FrameData):
+        from .mono import mono_initialize
+
+        if getattr(self, "_mono_ref", None) is None:
+            self._mono_ref = frame
+            self._mono_ref_age = 0
+            return
+        self._mono_ref_age += 1
+        init = mono_initialize(
+            self._mono_ref, frame, self.cfg, jax.random.PRNGKey(31)
+        )
+        if not bool(init.ok):
+            if self._mono_ref_age > 10:  # stale reference — restart
+                self._mono_ref = frame
+                self._mono_ref_age = 0
+            return
+        # Create the initial two-keyframe map.
+        m = self.map_state
+        m, kf0 = mapmod.add_keyframe(m, jnp.eye(4))
+        m, kf1 = mapmod.add_keyframe(m, init.T_cw2)
+        F = init.pts_w.shape[0]
+        view = init.pts_w / jnp.maximum(
+            jnp.linalg.norm(init.pts_w, axis=-1, keepdims=True), 1e-9
+        )
+        m, ids = mapmod.add_points(
+            m, init.pts_w, frame.feats.desc_pm, init.octave2, view, init.pt_ok
+        )
+        m = mapmod.add_observations(
+            m, kf0, ids, init.uv1, jnp.full(F, -1.0), init.octave2
+        )
+        m = mapmod.add_observations(
+            m, kf1, ids, init.uv2, jnp.full(F, -1.0), init.octave2
+        )
+        self.map_state = jax.block_until_ready(m)
+        self.Tcw = np.asarray(init.T_cw2)
+        self.initialized = True
+        self.inliers_at_last_kf = int(jnp.sum(init.pt_ok))
+        self.frames_since_kf = 0
+        self.stats["keyframes"] += 2
+        # Snapshot BOTH bootstrap keyframes — snapshot slots must stay
+        # aligned with keyframe ids (slot k <-> KF k).
+        self._loop_closing(self._mono_ref, 0)
+        self._loop_closing(frame, 1)
+        self._last_mono_frame = frame
+
+    def _insert_mono_keyframe(self, frame: FrameData, res: TrackResult):
+        from .mono import triangulate_new_points
+
+        cfg = self.cfg
+        m, kf_id = mapmod.add_keyframe(self.map_state, jnp.asarray(self.Tcw))
+        # Observations of tracked points.
+        N = m.pt_xyz.shape[0]
+        pt_ids = jnp.where(res.match_inlier, jnp.arange(N, dtype=jnp.int32), -1)
+        fidx = jnp.clip(res.match_pt, 0)
+        m = mapmod.add_observations(
+            m, kf_id, pt_ids, frame.feats.xy[fidx],
+            jnp.full(N, -1.0), frame.feats.octave[fidx],
+        )
+        # Triangulate fresh points against the previous keyframe snapshot.
+        prev = int(m.num_kfs) - 2
+        matched_feat = jnp.zeros(frame.feats.capacity, bool).at[fidx].set(
+            res.match_inlier
+        )
+        m = triangulate_new_points(
+            m,
+            self.loop_state.kf_desc[prev],
+            self.loop_state.kf_xy[prev],
+            self.loop_state.kf_feat_ok[prev],
+            jnp.int32(prev),
+            kf_id,
+            frame,
+            matched_feat,
+            cfg,
+        )
+        self.map_state = m
+        t0 = time.perf_counter()
+        self.map_state = local_ba_step(self.map_state, cfg, self.ba_window)
+        self.map_state = jax.block_until_ready(self.map_state)
+        self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
+        kf_id_i = int(self.map_state.num_kfs) - 1
+        self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id_i])
+        self.frames_since_kf = 0
+        self.inliers_at_last_kf = int(res.num_inliers)
+        self.stats["keyframes"] += 1
+        self._loop_closing(frame, kf_id_i)
 
     # ------------------------------------------------------------------
     def summary(self) -> dict:

@@ -51,7 +51,7 @@ class TestLoopDetection:
             poses.append(lie.exp_se3(xi))
         for T in poses:
             f, pts, ok = frame_at(T)
-            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok)
+            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy)
 
         # Current view: near KF 0 with a known small offset.
         T_off = lie.exp_se3(jnp.asarray([0.05, 0.02, 0.03, 0.0, 0.03, 0.0]))
@@ -75,7 +75,7 @@ class TestLoopDetection:
         for k in range(15):
             xi = jnp.asarray([0.12 * k, 0.0, 0.0, 0.0, 0.05 * k, 0.0], jnp.float32)
             f, pts, ok = frame_at(lie.exp_se3(xi))
-            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok)
+            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy)
         # A genuinely new viewpoint (large rotation) should not verify.
         f, pts, ok = frame_at(lie.exp_se3(jnp.asarray([0, 0, 0, 0, 2.6, 0], jnp.float32)))
         det = detect_loop(ls, f.desc_pm, f.valid, pts, ok, jax.random.PRNGKey(1))
