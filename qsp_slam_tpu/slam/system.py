@@ -269,6 +269,29 @@ class SlamSystem:
         self.objects = jax.block_until_ready(merge_duplicates(self.objects))
 
     # ------------------------------------------------------------------
+    # Stereo mode (`System::TrackStereo` equivalent, the KITTI path)
+    # ------------------------------------------------------------------
+    def track_stereo(self, gray_left, gray_right, detections=None) -> np.ndarray:
+        """Stereo frame: left-right matching supplies per-keypoint depth,
+        then the RGB-D pipeline runs unchanged (the reference treats stereo
+        and RGB-D uniformly once `mvuRight`/depth exist, `src/Frame.cc`)."""
+        from ..frontend.orb import extract_features
+        from ..frontend.stereo import depth_from_u_right, match_stereo
+
+        cfg = self.cfg
+        fl = extract_features(jnp.asarray(gray_left), cfg.orb)
+        fr = extract_features(jnp.asarray(gray_right), cfg.orb)
+        u_r = match_stereo(fl, fr, cfg.bf)
+        depth_kp = depth_from_u_right(fl.xy[:, 0], u_r, cfg.bf)
+        # Build a sparse depth image at keypoint locations so the common
+        # RGB-D entry applies (depth sampling happens at those same pixels).
+        xi = jnp.clip(jnp.round(fl.xy[:, 0]).astype(jnp.int32), 0, cfg.width - 1)
+        yi = jnp.clip(jnp.round(fl.xy[:, 1]).astype(jnp.int32), 0, cfg.height - 1)
+        depth_img = jnp.zeros((cfg.height, cfg.width), jnp.float32)
+        depth_img = depth_img.at[yi, xi].set(depth_kp)
+        return self.track_rgbd(gray_left, np.asarray(depth_img), detections)
+
+    # ------------------------------------------------------------------
     # Monocular mode (`System::TrackMonocular` equivalent)
     # ------------------------------------------------------------------
     def track_mono(self, gray) -> np.ndarray:
