@@ -19,7 +19,11 @@ from ..core import lie
 from ..core.camera import Intrinsics
 from . import robust
 from .reproj import ReprojEdges, edge_chi2, residuals_and_jacobians
-from .schur import build_normal_blocks, solve_schur
+from .schur import build_normal_blocks_fast, point_slot_table, solve_schur
+
+# Max observations-per-point capacity for the scatter-free block build; local
+# BA windows rarely exceed the keyframe count per point.
+MAX_OBS_PER_POINT = 16
 
 
 class BAResult(NamedTuple):
@@ -53,6 +57,11 @@ def _lm_stage(
     K = Tcw.shape[0]
     N = points.shape[0]
     delta2 = jnp.where(edges.is_stereo, delta2_stereo, delta2_mono)
+    # Edge structure is fixed across LM iterations: build the slot table once
+    # so every iteration is scatter-free (schur.build_normal_blocks_fast).
+    slot_table = point_slot_table(
+        edges.pt_idx, edges.valid, N, min(MAX_OBS_PER_POINT, K)
+    )
 
     def cost_at(Tcw_, points_):
         r, _, _, row_mask, _ = residuals_and_jacobians(
@@ -70,8 +79,8 @@ def _lm_stage(
             use_huber, robust.huber_weight(chi2, delta2), jnp.ones_like(chi2)
         )
         w_row = row_mask * (edges.inv_sigma2 * w_edge)[:, None]
-        blocks = build_normal_blocks(
-            r, Jc, Jp, w_row, edges.kf_idx, edges.pt_idx, K, N, cam_fixed
+        blocks = build_normal_blocks_fast(
+            r, Jc, Jp, w_row, edges.kf_idx, slot_table, K, cam_fixed
         )
         delta_c, delta_p = solve_schur(blocks, lmbda, cam_fixed)
         Tcw_try = lie.exp_se3(delta_c) @ Tcw_

@@ -72,16 +72,107 @@ def build_normal_blocks(
     return NormalBlocks(H_cc, b_c, H_pp, b_p, B_nk)
 
 
+def point_slot_table(
+    pt_idx: jax.Array, valid: jax.Array, num_points: int, slots: int
+) -> jax.Array:
+    """Edge list -> per-point edge-slot table (N, S) of edge ids (-1 = empty).
+
+    Built ONCE per BA stage (the edge structure is fixed across LM
+    iterations); lets the normal-block build below run scatter-free: TPU
+    scatters serialize, gathers and one-hot matmuls pipeline.
+    Points with more than `slots` observations silently drop the excess
+    (choose `slots` >= the expected max observations per point).
+    """
+    E = pt_idx.shape[0]
+    key = jnp.where(valid, pt_idx, num_points)
+    order = jnp.argsort(key)
+    sorted_pt = key[order]
+    first = jnp.searchsorted(sorted_pt, jnp.arange(num_points + 1))
+    pos = jnp.arange(E) - first[jnp.clip(sorted_pt, 0, num_points)]
+    ok = (sorted_pt < num_points) & (pos < slots)
+    row = jnp.where(ok, sorted_pt, num_points)  # park rejects in a dump row
+    col = jnp.clip(pos, 0, slots - 1)
+    table = jnp.full((num_points + 1, slots), -1, jnp.int32)
+    table = table.at[row, col].set(jnp.where(ok, order.astype(jnp.int32), -1))
+    return table[:num_points]
+
+
+def build_normal_blocks_fast(
+    r: jax.Array,
+    Jc: jax.Array,
+    Jp: jax.Array,
+    w: jax.Array,
+    kf_idx: jax.Array,
+    slot_table: jax.Array,  # (N, S) from point_slot_table
+    num_cams: int,
+    cam_fixed: jax.Array,
+) -> NormalBlocks:
+    """Scatter-free normal blocks: gathers + one-hot contractions only.
+
+    Semantics match `build_normal_blocks` given a complete slot table.
+    """
+    N, S = slot_table.shape
+    free = 1.0 - cam_fixed.astype(r.dtype)
+    Jc = Jc * free[kf_idx][:, None, None]
+    JcW = Jc * w[..., None]
+    JpW = Jp * w[..., None]
+
+    # Camera-side sums via one-hot contraction over the K axis (K is small).
+    onehot_k = jax.nn.one_hot(kf_idx, num_cams, dtype=r.dtype)  # (E, K)
+    H_cc = jnp.einsum("era,erb,ek->kab", JcW, Jc, onehot_k)
+    b_c = -jnp.einsum("era,er,ek->ka", JcW, r, onehot_k)
+
+    # Point-side sums via the slot table (gather + sum over S).
+    eid = slot_table  # (N, S)
+    mask = (eid >= 0).astype(r.dtype)[..., None]
+    eid_c = jnp.clip(eid, 0)
+    Jp_g = Jp[eid_c] * mask[..., None]  # (N, S, R, 3)
+    JpW_g = JpW[eid_c] * mask[..., None]
+    r_g = r[eid_c] * mask  # (N, S, R)
+    JcW_g = JcW[eid_c] * mask[..., None]  # (N, S, R, 6)
+    H_pp = jnp.einsum("nsra,nsrb->nab", JpW_g, Jp_g)
+    b_p = -jnp.einsum("nsra,nsr->na", JpW_g, r_g)
+    onehot_nk = jax.nn.one_hot(kf_idx[eid_c], num_cams, dtype=r.dtype)  # (N,S,K)
+    B_nk = jnp.einsum("nsra,nsrb,nsk->nkab", JcW_g, Jp_g, onehot_nk)
+    return NormalBlocks(H_cc, b_c, H_pp, b_p, B_nk)
+
+
 def _inv3x3_spd(A: jax.Array, lm_lambda: jax.Array) -> jax.Array:
     """Batched inverse of Marquardt-damped SPD 3x3 blocks (..., 3, 3).
 
     Damping is multiplicative on the diagonal (A + lambda diag(A)), matching
     g2o's Levenberg schedule, plus a tiny absolute floor so all-zero blocks
     (capacity padding: points with no valid observations) stay invertible.
+
+    Closed-form adjugate inverse: `jnp.linalg.inv` lowers to a serialized
+    batched LU that costs ~2 ms for 2000 blocks on TPU; the cofactor form is
+    ~50 VPU flops per block and fuses with its consumers.
     """
-    diag = jnp.eye(3, dtype=A.dtype)
-    A = A + lm_lambda * A * diag + 1e-6 * diag
-    return jnp.linalg.inv(A)
+    eye = jnp.eye(3, dtype=A.dtype)
+    A = A + lm_lambda * A * eye + 1e-6 * eye
+    a, b, c = A[..., 0, 0], A[..., 0, 1], A[..., 0, 2]
+    d, e, f = A[..., 1, 0], A[..., 1, 1], A[..., 1, 2]
+    g, h, i = A[..., 2, 0], A[..., 2, 1], A[..., 2, 2]
+    C00 = e * i - f * h
+    C01 = c * h - b * i
+    C02 = b * f - c * e
+    C10 = f * g - d * i
+    C11 = a * i - c * g
+    C12 = c * d - a * f
+    C20 = d * h - e * g
+    C21 = b * g - a * h
+    C22 = a * e - b * d
+    det = a * C00 + b * C10 + c * C20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    adj = jnp.stack(
+        [
+            jnp.stack([C00, C01, C02], axis=-1),
+            jnp.stack([C10, C11, C12], axis=-1),
+            jnp.stack([C20, C21, C22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
 
 
 def solve_schur(
