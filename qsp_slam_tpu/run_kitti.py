@@ -1,0 +1,84 @@
+"""KITTI odometry stereo CLI — the `qsp_slam` (stereo+LiDAR) entry point.
+
+Parity: `qsp_slam.cc` — stereo pair loop with optional LiDAR-derived object
+detections (the detector3d replay seam), KITTI-format trajectory save.
+
+    python -m qsp_slam_tpu.run_kitti SEQ_DIR [--poses poses/NN.txt]
+        [--save-dir out] [--max-frames F] [--detections DIR] [--cpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sequence", help=".../sequences/NN directory")
+    ap.add_argument("--poses", default=None, help="GT poses file for ATE")
+    ap.add_argument("--save-dir", default=None)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--detections", default=None, help="per-frame det npz dir")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    from qsp_slam_tpu.data.io import load_detection_cache, save_trajectory_kitti
+    from qsp_slam_tpu.data.kitti import KittiSequence
+    from qsp_slam_tpu.eval.ate import ate_rmse
+    from qsp_slam_tpu.frontend.orb import OrbConfig
+    from qsp_slam_tpu.frontend.pyramid import PyramidConfig
+    from qsp_slam_tpu.slam.system import SlamSystem
+    from qsp_slam_tpu.slam.tracking import TrackingConfig
+
+    seq = KittiSequence(args.sequence, args.poses)
+    intr = seq.intrinsics
+    g0, _ = seq.load_gray_pair(0)
+    H, W = g0.shape
+    cfg = TrackingConfig(
+        orb=OrbConfig(
+            num_features=2000,  # reference KITTI budget (configs/KITTI00-02.yaml)
+            pyramid=PyramidConfig(height=H, width=W),
+        ),
+        fx=float(intr["fx"]), fy=float(intr["fy"]),
+        cx=float(intr["cx"]), cy=float(intr["cy"]),
+        width=W, height=H,
+        baseline=seq.baseline,
+        depth_max=60.0,
+    )
+    sysm = SlamSystem(cfg, kmax=128, nmax=16384, emax=131072)
+
+    n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
+    for idx in range(n):
+        gl, gr = seq.load_gray_pair(idx)
+        det = None
+        if args.detections:
+            p = os.path.join(args.detections, f"{idx}.npz")
+            if os.path.exists(p):
+                det = load_detection_cache(p)
+        sysm.track_stereo(gl, gr, det)
+        if (idx + 1) % 50 == 0:
+            print(f"[{idx + 1}/{n}] kfs={sysm.stats['keyframes']}", file=sys.stderr)
+
+    out = sysm.summary()
+    est = np.stack(sysm.trajectory)
+    if seq.poses is not None:
+        gt_Tcw = np.stack([np.linalg.inv(T) for T in seq.poses[:n]])
+        out["ate_rmse_m"] = ate_rmse(est, gt_Tcw)
+    if args.save_dir:
+        os.makedirs(args.save_dir, exist_ok=True)
+        save_trajectory_kitti(os.path.join(args.save_dir, "trajectory.txt"), est)
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()

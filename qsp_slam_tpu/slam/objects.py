@@ -42,9 +42,16 @@ class ObjectTable(NamedTuple):
     obs_bbox: jax.Array  # (Omax, M, 4)
     obs_weight: jax.Array  # (Omax, M)
     obs_next: jax.Array  # (Omax,) int32 ring cursor
+    # DeepSDF shape state (parity: MapObject's 64-d code + Sim3Two,
+    # `src/MapObject.cc`); Tow_shape maps world -> normalized object frame.
+    code: jax.Array  # (Omax, C)
+    Tow_shape: jax.Array  # (Omax, 4, 4) similarity (sR | t)
+    shape_ok: jax.Array  # (Omax,) bool — a reconstruction exists
 
 
-def empty_objects(omax: int = 32, obs_per_object: int = 16) -> ObjectTable:
+def empty_objects(
+    omax: int = 32, obs_per_object: int = 16, code_dim: int = 16
+) -> ObjectTable:
     return ObjectTable(
         ellipsoid=jnp.zeros((omax, 9), jnp.float32),
         label=jnp.full(omax, -1, jnp.int32),
@@ -56,6 +63,9 @@ def empty_objects(omax: int = 32, obs_per_object: int = 16) -> ObjectTable:
         obs_bbox=jnp.zeros((omax, obs_per_object, 4), jnp.float32),
         obs_weight=jnp.zeros((omax, obs_per_object), jnp.float32),
         obs_next=jnp.zeros(omax, jnp.int32),
+        code=jnp.zeros((omax, code_dim), jnp.float32),
+        Tow_shape=jnp.tile(jnp.eye(4, dtype=jnp.float32), (omax, 1, 1)),
+        shape_ok=jnp.zeros(omax, bool),
     )
 
 

@@ -60,6 +60,9 @@ class SlamSystem:
     omax: int = 32
     enable_objects: bool = True
     enable_loop_closing: bool = True
+    # Optional DeepSDF shape prior: (params, DeepSDFConfig) enables per-object
+    # reconstruction at keyframe cadence (`ProcessDetectedObjects` parity).
+    shape_prior: Optional[tuple] = None
     map_state: MapState = field(init=False)
     loop_state: LoopState = field(init=False)
     loops_closed: int = 0
@@ -77,7 +80,8 @@ class SlamSystem:
 
     def __post_init__(self):
         self.map_state = mapmod.empty_map(self.kmax, self.nmax, self.emax)
-        self.objects = empty_objects(self.omax)
+        code_dim = self.shape_prior[1].code_dim if self.shape_prior else 16
+        self.objects = empty_objects(self.omax, code_dim=code_dim)
         self.loop_state = empty_loop_state(self.kmax)
         self.Tcw = np.eye(4, dtype=np.float32)
         self.velocity = np.eye(4, dtype=np.float32)
@@ -266,7 +270,23 @@ class SlamSystem:
             fits.ellipsoid_cam, fits.ok & dvalid, assoc,
         )
         self.objects = refine_objects(self.objects, cfg.intr.K, pi_w)
-        self.objects = jax.block_until_ready(merge_duplicates(self.objects))
+        self.objects = merge_duplicates(self.objects)
+        if self.shape_prior is not None:
+            from ..models.shape_opt import ShapeOptConfig
+            from .shape_mapping import gather_shape_inputs, reconstruct_due_objects
+
+            params, dec_cfg = self.shape_prior[:2]
+            opt_cfg = (
+                self.shape_prior[2] if len(self.shape_prior) > 2 else ShapeOptConfig()
+            )
+            inputs = gather_shape_inputs(
+                self.objects, Tcw, depth, pi_cam, cfg.intr,
+                jax.random.PRNGKey(5000 + kf_id),
+            )
+            self.objects = reconstruct_due_objects(
+                self.objects, inputs, params, dec_cfg, Tcw, opt_cfg
+            )
+        self.objects = jax.block_until_ready(self.objects)
 
     # ------------------------------------------------------------------
     # Stereo mode (`System::TrackStereo` equivalent, the KITTI path)
