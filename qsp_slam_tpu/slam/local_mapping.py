@@ -75,6 +75,37 @@ def local_ba_step(m: MapState, cfg: TrackingConfig, window: int = 8) -> MapState
     return m
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def global_ba_step(m: MapState, cfg: TrackingConfig, iters: int = 10) -> MapState:
+    """Whole-map BA (parity: `RunGlobalJointBundleAdjustment` after a loop,
+    `src/LoopClosing_util.cc:295`, 10 iterations; gauge anchored at KF 0)."""
+    Kmax = m.kf_Tcw.shape[0]
+    kf_ids = jnp.arange(Kmax, dtype=jnp.int32)
+    in_map = kf_ids < m.num_kfs
+    cam_fixed = (kf_ids == 0) | ~in_map
+    valid = m.ob_valid & in_map[m.ob_kf] & m.pt_valid[m.ob_pt]
+    inv_sigma2 = (1.0 / cfg.orb.pyramid.scale_factor ** 2) ** m.ob_octave.astype(
+        jnp.float32
+    )
+    edges = ReprojEdges(
+        kf_idx=m.ob_kf,
+        pt_idx=m.ob_pt,
+        uv=m.ob_uv,
+        u_right=m.ob_ur,
+        inv_sigma2=inv_sigma2,
+        valid=valid,
+    )
+    res = local_bundle_adjustment(
+        m.kf_Tcw, m.pt_xyz, cam_fixed, edges, cfg.intr,
+        baseline_fx=cfg.bf, iters_robust=iters // 2, iters_final=iters - iters // 2,
+    )
+    return m._replace(
+        kf_Tcw=jnp.where(in_map[:, None, None], res.Tcw, m.kf_Tcw),
+        pt_xyz=res.points,
+        ob_valid=jnp.where(in_map[m.ob_kf], res.inlier & m.ob_valid, m.ob_valid),
+    )
+
+
 @partial(jax.jit, static_argnames=())
 def cull_points(m: MapState, min_obs: int = 2) -> MapState:
     """Disable points whose surviving observation count fell below min_obs.

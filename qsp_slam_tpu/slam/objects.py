@@ -47,6 +47,11 @@ class ObjectTable(NamedTuple):
     code: jax.Array  # (Omax, C)
     Tow_shape: jax.Array  # (Omax, 4, 4) similarity (sR | t)
     shape_ok: jax.Array  # (Omax,) bool — a reconstruction exists
+    # lifecycle (parity: MapObjectCulling + dynamic/static arbitration,
+    # `LocalMapping_util.cc:29-93,151-192`)
+    last_seen_kf: jax.Array  # (Omax,) int32
+    move_votes: jax.Array  # (Omax,) int32 — large single-frame displacements
+    dynamic: jax.Array  # (Omax,) bool
 
 
 def empty_objects(
@@ -66,6 +71,9 @@ def empty_objects(
         code=jnp.zeros((omax, code_dim), jnp.float32),
         Tow_shape=jnp.tile(jnp.eye(4, dtype=jnp.float32), (omax, 1, 1)),
         shape_ok=jnp.zeros(omax, bool),
+        last_seen_kf=jnp.zeros(omax, jnp.int32),
+        move_votes=jnp.zeros(omax, jnp.int32),
+        dynamic=jnp.zeros(omax, bool),
     )
 
 
@@ -135,6 +143,8 @@ def integrate_keyframe(
     det_ellipsoid_cam: jax.Array,  # (D, 9) single-frame fits (camera frame)
     det_fit_ok: jax.Array,  # (D,) bool
     assoc: Associations,
+    kf_id: jax.Array = jnp.int32(0),
+    dynamic_dist: float = 0.35,
 ) -> ObjectTable:
     """Fold one keyframe's detections into the object table.
 
@@ -152,10 +162,23 @@ def integrate_keyframe(
 
         def do_assoc(tb):
             tb = _push_observation(tb, oid, Tcw, det_bbox[i], det_prob[i])
+            # Dynamic/static arbitration (`GetNewObservations` `:151-192`):
+            # a good single-frame fit landing far from the landmark while the
+            # 2D association still matched is a motion vote; repeated votes
+            # flag the object dynamic (its bbox history stops being fused).
+            e_w_det = quadric.transform_ellipsoid(det_ellipsoid_cam[i], T_wc)
+            moved = det_fit_ok[i] & (
+                jnp.linalg.norm(e_w_det[0:3] - tb.ellipsoid[oid, 0:3])
+                > dynamic_dist
+            )
+            votes = tb.move_votes[oid] + moved.astype(jnp.int32)
             return tb._replace(
                 prob=tb.prob.at[oid].set(
                     jnp.minimum(tb.prob[oid] + 0.1 * det_prob[i], 1.0)
-                )
+                ),
+                last_seen_kf=tb.last_seen_kf.at[oid].set(kf_id),
+                move_votes=tb.move_votes.at[oid].set(votes),
+                dynamic=tb.dynamic.at[oid].set(votes >= 2),
             )
 
         def do_new(tb):
@@ -170,6 +193,9 @@ def integrate_keyframe(
                     prob=tb.prob.at[nid].set(0.2 * det_prob[i]),
                     valid=tb.valid.at[nid].set(True),
                     num_objects=tb.num_objects + 1,
+                    last_seen_kf=tb.last_seen_kf.at[nid].set(kf_id),
+                    move_votes=tb.move_votes.at[nid].set(0),
+                    dynamic=tb.dynamic.at[nid].set(False),
                 )
                 return _push_observation(tb, nid, Tcw, det_bbox[i], det_prob[i])
 
@@ -178,6 +204,25 @@ def integrate_keyframe(
         return jax.lax.cond(is_assoc, do_assoc, do_new, tb)
 
     return jax.lax.fori_loop(0, D, fold_det, table)
+
+
+@partial(jax.jit, static_argnames=())
+def cull_objects(
+    table: ObjectTable,
+    current_kf: jax.Array,
+    max_age_kf: int = 8,
+    min_obs: int = 2,
+) -> ObjectTable:
+    """Drop weakly-supported stale objects.
+
+    Parity: `LocalMapping::MapObjectCulling` (`LocalMapping_util.cc:29-93`) —
+    objects with too few observations that have not been re-observed within
+    `max_age_kf` keyframes are removed.
+    """
+    stale = (current_kf - table.last_seen_kf) > max_age_kf
+    weak = table.obs_count < min_obs
+    drop = table.valid & stale & weak
+    return table._replace(valid=table.valid & ~drop)
 
 
 @partial(jax.jit, static_argnames=("iters",))
@@ -194,8 +239,11 @@ def refine_objects(
         enough = jnp.sum(w > 0) >= 2
         return jnp.where(valid & enough, e_new, e)
 
+    # Dynamic objects keep their last single-frame estimate: fusing a moving
+    # object's bbox history would smear it (`GetNewObservations` semantics).
+    refinable = table.valid & ~table.dynamic
     e_ref = jax.vmap(one)(
-        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight, table.valid
+        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight, refinable
     )
     return table._replace(ellipsoid=e_ref)
 

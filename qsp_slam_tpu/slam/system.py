@@ -220,7 +220,14 @@ class SlamSystem:
             self.map_state, self.objects = correct_loop(
                 self.map_state, self.objects, jnp.int32(kf_id), det,
             )
-            self.map_state = jax.block_until_ready(self.map_state)
+            # Global BA after the pose-graph correction (the reference's
+            # detached-thread `RunGlobalJointBundleAdjustment`, run inline
+            # in the single-controller model).
+            from .local_mapping import global_ba_step
+
+            self.map_state = jax.block_until_ready(
+                global_ba_step(self.map_state, cfg)
+            )
             self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
             self.velocity = np.eye(4, dtype=np.float32)
             self.loops_closed += 1
@@ -267,10 +274,13 @@ class SlamSystem:
         )
         self.objects = integrate_keyframe(
             self.objects, Tcw, bbox, label, prob, dvalid,
-            fits.ellipsoid_cam, fits.ok & dvalid, assoc,
+            fits.ellipsoid_cam, fits.ok & dvalid, assoc, kf_id=jnp.int32(kf_id),
         )
         self.objects = refine_objects(self.objects, cfg.intr.K, pi_w)
         self.objects = merge_duplicates(self.objects)
+        from .objects import cull_objects
+
+        self.objects = cull_objects(self.objects, jnp.int32(kf_id))
         if self.shape_prior is not None:
             from ..models.shape_opt import ShapeOptConfig
             from .shape_mapping import gather_shape_inputs, reconstruct_due_objects
