@@ -24,9 +24,37 @@ from .map import MapState
 from .tracking import TrackingConfig
 
 
-@partial(jax.jit, static_argnames=("cfg", "window"))
-def local_ba_step(m: MapState, cfg: TrackingConfig, window: int = 8) -> MapState:
+def edge_budget_for(num_obs: int, emax: int, floor: int = 4096) -> int:
+    """Power-of-2 bucket >= num_obs: early keyframes optimize small problems
+    instead of paying for full capacity (few distinct buckets -> few compiles)."""
+    b = floor
+    while b < num_obs and b < emax:
+        b *= 2
+    return min(b, emax)
+
+
+@partial(jax.jit, static_argnames=("cfg", "window", "edge_budget"))
+def local_ba_step(
+    m: MapState, cfg: TrackingConfig, window: int = 8,
+    edge_budget: int | None = None,
+) -> MapState:
     """Optimize the last `window` keyframes + all their points in place."""
+    if edge_budget is not None and edge_budget < m.ob_kf.shape[0]:
+        mm = m._replace(
+            ob_kf=m.ob_kf[:edge_budget],
+            ob_pt=m.ob_pt[:edge_budget],
+            ob_uv=m.ob_uv[:edge_budget],
+            ob_ur=m.ob_ur[:edge_budget],
+            ob_octave=m.ob_octave[:edge_budget],
+            ob_valid=m.ob_valid[:edge_budget]
+            & (jnp.arange(edge_budget) < m.num_obs),
+        )
+        out = local_ba_step(mm, cfg, window, None)
+        return m._replace(
+            kf_Tcw=out.kf_Tcw,
+            pt_xyz=out.pt_xyz,
+            ob_valid=m.ob_valid.at[:edge_budget].set(out.ob_valid),
+        )
     Kmax = m.kf_Tcw.shape[0]
     start = jnp.maximum(m.num_kfs - window, 0)
 

@@ -183,7 +183,12 @@ class SlamSystem:
             self.map_state, jnp.asarray(self.Tcw), frame, res, self.cfg
         )
         t0 = time.perf_counter()
-        self.map_state = local_ba_step(self.map_state, self.cfg, self.ba_window)
+        from .local_mapping import edge_budget_for
+
+        budget = edge_budget_for(int(self.map_state.num_obs), self.emax)
+        self.map_state = local_ba_step(
+            self.map_state, self.cfg, self.ba_window, budget
+        )
         self.map_state = jax.block_until_ready(self.map_state)
         self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
         # Adopt the refreshed pose of the newest keyframe.
@@ -430,7 +435,10 @@ class SlamSystem:
         )
         self.map_state = m
         t0 = time.perf_counter()
-        self.map_state = local_ba_step(self.map_state, cfg, self.ba_window)
+        from .local_mapping import edge_budget_for
+
+        budget = edge_budget_for(int(self.map_state.num_obs), self.emax)
+        self.map_state = local_ba_step(self.map_state, cfg, self.ba_window, budget)
         self.map_state = jax.block_until_ready(self.map_state)
         self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
         kf_id_i = int(self.map_state.num_kfs) - 1
