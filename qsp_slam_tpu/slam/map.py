@@ -33,7 +33,8 @@ class MapState(NamedTuple):
     num_kfs: jax.Array  # () int32
     # points
     pt_xyz: jax.Array  # (Nmax, 3) f32
-    pt_desc: jax.Array  # (Nmax, 256) int8
+    pt_desc: jax.Array  # (Nmax, 256) int8 — matching form (±1, sign of acc)
+    pt_desc_acc: jax.Array  # (Nmax, 256) int8 — majority-vote accumulator
     pt_octave: jax.Array  # (Nmax,) int32
     pt_normal: jax.Array  # (Nmax, 3) f32 mean viewing direction
     pt_obs_count: jax.Array  # (Nmax,) int32
@@ -60,6 +61,7 @@ def empty_map(kmax: int = 64, nmax: int = 8192, emax: int = 65536) -> MapState:
         num_kfs=jnp.int32(0),
         pt_xyz=jnp.zeros((nmax, 3), jnp.float32),
         pt_desc=jnp.zeros((nmax, DESC_BITS), jnp.int8),
+        pt_desc_acc=jnp.zeros((nmax, DESC_BITS), jnp.int8),
         pt_octave=jnp.zeros(nmax, jnp.int32),
         pt_normal=jnp.zeros((nmax, 3), jnp.float32),
         pt_obs_count=jnp.zeros(nmax, jnp.int32),
@@ -112,6 +114,9 @@ def add_points(
         pt_xyz=m.pt_xyz.at[ids].set(jnp.where(valid_s[:, None], xyz, m.pt_xyz[ids])),
         pt_desc=m.pt_desc.at[ids].set(
             jnp.where(valid_s[:, None], desc, m.pt_desc[ids])
+        ),
+        pt_desc_acc=m.pt_desc_acc.at[ids].set(
+            jnp.where(valid_s[:, None], desc, m.pt_desc_acc[ids])
         ),
         pt_octave=m.pt_octave.at[ids].set(jnp.where(valid_s, octave, m.pt_octave[ids])),
         pt_normal=m.pt_normal.at[ids].set(

@@ -189,6 +189,10 @@ class SlamSystem:
         self.map_state = local_ba_step(
             self.map_state, self.cfg, self.ba_window, budget
         )
+        if self.stats["keyframes"] % 4 == 0:
+            from .local_mapping import cull_keyframes
+
+            self.map_state = cull_keyframes(self.map_state)
         self.map_state = jax.block_until_ready(self.map_state)
         self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
         # Adopt the refreshed pose of the newest keyframe.
