@@ -170,6 +170,75 @@ def global_ba_step(m: MapState, cfg: TrackingConfig, iters: int = 10) -> MapStat
     )
 
 
+@partial(jax.jit, static_argnames=("window_pts",))
+def fuse_map_points(
+    m: MapState,
+    window_pts: int = 2048,
+    radius: float = 0.02,
+    desc_th: int = 25,
+) -> MapState:
+    """Merge duplicate map points (same surface point triangulated twice).
+
+    Parity: the map-point fusion of `LocalMapping::SearchInNeighbors` /
+    `ORBmatcher::Fuse` (`src/LocalMapping.cc:146`, `src/ORBmatcher.cc:825`).
+    TPU-native: pairwise 3D-distance + descriptor-distance tests over the
+    most recent `window_pts` points (recent points are the fusion
+    candidates — older ones were already deduplicated); duplicates collapse
+    into the lower id and their observation edges are re-pointed.
+    """
+    Nmax = m.pt_xyz.shape[0]
+    window_pts = min(window_pts, Nmax)
+    start = jnp.clip(m.num_pts - window_pts, 0, Nmax - window_pts)
+    idx = start + jnp.arange(window_pts)
+    xyz = m.pt_xyz[idx]
+    desc = m.pt_desc[idx]
+    valid = m.pt_valid[idx] & (idx < m.num_pts)
+
+    d2 = jnp.sum((xyz[:, None, :] - xyz[None, :, :]) ** 2, axis=-1)
+    dots = jax.lax.dot_general(
+        desc, desc, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )
+    ham = (desc.shape[1] - dots) // 2
+    ii = jnp.arange(window_pts)
+    # Co-observation exclusion: two points seen in the SAME keyframe are two
+    # real features, however close — true duplicates arise from independent
+    # triangulations in DIFFERENT keyframes.  (Without this, fusing nearby
+    # wall points injects contradictory same-KF measurements into BA and
+    # measurably degrades ATE.)
+    Kmax = m.kf_Tcw.shape[0]
+    in_win_edge = (m.ob_pt >= start) & (m.ob_pt < start + window_pts) & m.ob_valid
+    local_pt = jnp.clip(m.ob_pt - start, 0, window_pts - 1)
+    obs_mask = jnp.zeros((window_pts, Kmax), jnp.float32).at[
+        jnp.where(in_win_edge, local_pt, 0),
+        jnp.where(in_win_edge, m.ob_kf, 0),
+    ].max(in_win_edge.astype(jnp.float32))
+    co_observed = (obs_mask @ obs_mask.T) > 0.0
+    mergeable = (
+        (d2 < radius * radius)
+        & (ham < desc_th)
+        & ~co_observed
+        & valid[:, None]
+        & valid[None, :]
+        & (ii[None, :] < ii[:, None])  # partner must have a LOWER index
+    )
+    has_partner = mergeable.any(axis=1)
+    partner = jnp.argmax(mergeable, axis=1)  # lowest such index wins argmax? no:
+    # argmax returns the FIRST True along the row = lowest index ✓
+    target = jnp.where(has_partner, partner, ii)
+    # Resolve chains (a -> b -> c) with two contractions.
+    target = target[target]
+    target = target[target]
+
+    # Remap edges: window-local ids -> global.
+    global_target = start + target
+    in_window = (m.ob_pt >= start) & (m.ob_pt < start + window_pts)
+    local = jnp.clip(m.ob_pt - start, 0, window_pts - 1)
+    ob_pt_new = jnp.where(in_window, global_target[local], m.ob_pt)
+    dead = has_partner
+    pt_valid_new = m.pt_valid.at[idx].set(m.pt_valid[idx] & ~dead)
+    return m._replace(ob_pt=ob_pt_new, pt_valid=pt_valid_new)
+
+
 @partial(jax.jit, static_argnames=())
 def cull_keyframes(m: MapState, redundancy: float = 0.9) -> MapState:
     """Deactivate redundant keyframes.

@@ -189,6 +189,9 @@ class SlamSystem:
         self.map_state = local_ba_step(
             self.map_state, self.cfg, self.ba_window, budget
         )
+        from .local_mapping import fuse_map_points
+
+        self.map_state = fuse_map_points(self.map_state)
         if self.stats["keyframes"] % 4 == 0:
             from .local_mapping import cull_keyframes
 
