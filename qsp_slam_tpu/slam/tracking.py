@@ -103,10 +103,18 @@ def track_frame(
     # 1. Project all valid map points with the predicted pose.
     pts_cam = lie.transform_points(Tcw_pred, m.pt_xyz[None])[0]
     uv, z = project(pts_cam, intr)
+    # Viewing-angle gate (`Tracking::SearchLocalPoints` cos > 0.5): points
+    # seen from the back side or at grazing angles match unreliably.
+    cam_center = lie.inv_se3(Tcw_pred)[:3, 3]
+    view = m.pt_xyz - cam_center
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-9)
+    cos_view = jnp.sum(view * m.pt_normal, axis=-1)
+    has_normal = jnp.linalg.norm(m.pt_normal, axis=-1) > 0.5
     proj_ok = (
         m.pt_valid
         & (z > cfg.depth_min)
         & in_image(uv, cfg.width, cfg.height, border=-20)
+        & (~has_normal | (cos_view > 0.5))
     )
     # 2. Windowed descriptor match (one masked int8 matmul).  If the narrow
     # window finds too few candidates the search re-runs at 2x radius — the
