@@ -25,7 +25,7 @@ from ..core import lie
 from ..core.camera import Intrinsics
 from . import robust
 from .reproj import ReprojEdges, edge_chi2, residuals_and_jacobians
-from .schur import NormalBlocks, build_normal_blocks, _inv3x3_spd
+from .schur import build_normal_blocks, _inv3x3_spd
 
 OBJ_EDGE_INFO = 1e3  # information scale (reference: 1e3 * Identity)
 OBJ_EDGE_HUBER2 = 0.1 * 1e3  # delta^2 = 0.1 * 1e3

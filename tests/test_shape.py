@@ -154,3 +154,33 @@ class TestReconstructObject:
         # axis permutation), so every hypothesis may converge — the contract
         # here is that the batched search runs and all hypotheses optimize.
         assert bool(res.is_good.all())
+
+
+class TestTorchInterop:
+    def test_load_torch_checkpoint_roundtrip(self, tmp_path, rng):
+        """A torch state dict in the reference's weight-norm naming loads and
+        decodes identically to the source parameters."""
+        import torch
+        import jax.numpy as jnp
+        from qsp_slam_tpu.models.deepsdf import (
+            DeepSDFConfig, decode_sdf, init_decoder, load_torch_checkpoint,
+        )
+
+        cfg = DeepSDFConfig(code_dim=8, hidden=32, num_layers=4, latent_in=(2,))
+        params = init_decoder(jax.random.PRNGKey(3), cfg)
+        sd = {}
+        for i in range(cfg.num_layers):
+            sd[f"lin{i}.weight_v"] = torch.tensor(np.asarray(params[f"lin{i}"]["v"]))
+            sd[f"lin{i}.weight_g"] = torch.tensor(
+                np.asarray(params[f"lin{i}"]["g"]).reshape(-1, 1)
+            )
+            sd[f"lin{i}.bias"] = torch.tensor(np.asarray(params[f"lin{i}"]["b"]))
+        path = tmp_path / "latest.pth"
+        torch.save({"model_state_dict": sd}, str(path))
+
+        loaded = load_torch_checkpoint(str(path), cfg)
+        code = jnp.asarray(rng.normal(size=(8,)), jnp.float32)
+        xyz = jnp.asarray(rng.uniform(-1, 1, (64, 3)), jnp.float32)
+        out_a = decode_sdf(params, cfg, code, xyz)
+        out_b = decode_sdf(loaded, cfg, code, xyz)
+        np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
