@@ -58,7 +58,7 @@ def fit_ellipsoid_depth(
     ground_margin: float = 0.03,
     min_points: int = 50,
 ) -> EllipsoidFitResult:
-    """Single-detection ellipsoid fit in the camera frame."""
+    """Single-detection ellipsoid fit from a DENSE depth image."""
     H, W = depth.shape
     uv = _sample_bbox_pixels(bbox, num_samples, key)
     ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
@@ -66,7 +66,29 @@ def fit_ellipsoid_depth(
     z = depth[vi, ui]
     pts = backproject(jnp.stack([ui, vi], -1).astype(depth.dtype), z, intr)
     valid = (z > depth_min) & (z < depth_max)
+    return fit_ellipsoid_points(
+        pts, valid, bbox, ground_plane_cam, intr,
+        num_yaw=num_yaw, ground_margin=ground_margin, min_points=min_points,
+    )
 
+
+@partial(jax.jit, static_argnames=("num_yaw", "min_points"))
+def fit_ellipsoid_points(
+    pts: jax.Array,  # (S, 3) camera-frame candidate points
+    valid: jax.Array,  # (S,)
+    bbox: jax.Array,  # (4,) detection bbox (for the IoU score)
+    ground_plane_cam: jax.Array,  # (4,)
+    intr: Intrinsics,
+    num_yaw: int = 36,
+    ground_margin: float = 0.03,
+    min_points: int = 50,
+) -> EllipsoidFitResult:
+    """Core fit from an explicit point set.
+
+    This is the seam the sparse modes use: stereo keypoint clouds and the
+    KITTI LiDAR per-object crops (`reconstruct/kitti_sequence.py:114-159`)
+    provide points directly instead of sampling a dense depth image.
+    """
     # Drop ground-plane points (the reference's plane filter).
     gdist = pts @ ground_plane_cam[:3] + ground_plane_cam[3]
     valid &= gdist > ground_margin
@@ -157,7 +179,7 @@ def fit_ellipsoid_depth(
 
     # prob = IoU of the projected ellipsoid bbox against the detection bbox
     # (`EllipsoidExtractorMultiPlanes.cpp:854` semantics).
-    proj = quadric.project_bbox(e_cam, jnp.eye(4, dtype=depth.dtype), intr.K)
+    proj = quadric.project_bbox(e_cam, jnp.eye(4, dtype=pts.dtype), intr.K)
     prob = quadric.bbox_iou(proj, bbox)
     ok = (n_core >= min_points) & jnp.isfinite(prob)
     return EllipsoidFitResult(

@@ -96,12 +96,29 @@ def ransac_plane(
     return plane_mod.normalize(refined), inl
 
 
+def estimate_ground_plane_points(
+    pts: jax.Array,
+    valid: jax.Array,
+    key: jax.Array,
+    min_inlier_frac: float = 0.15,
+    camera_up_hint: tuple = (0.0, -1.0, 0.0),
+) -> GroundPlaneResult:
+    """Ground plane from an explicit camera-frame point set (the seam used
+    by sparse modes: stereo keypoint clouds, LiDAR)."""
+    hint = jnp.asarray(camera_up_hint, dtype=pts.dtype)
+    pi, inl = ransac_plane(pts, valid, key, normal_hint=hint, hint_cos_min=0.7)
+    flip = jnp.sign(jnp.sum(pi[:3] * hint) + 1e-12)
+    pi = pi * flip
+    ok = inl > min_inlier_frac * jnp.maximum(jnp.sum(valid), 1)
+    return GroundPlaneResult(plane=pi, num_inliers=inl, ok=ok)
+
+
 def estimate_ground_plane(
     depth: jax.Array,
     intr: Intrinsics,
     key: jax.Array,
     stride: int = 8,
-    min_inlier_frac: float = 0.15,
+    min_inlier_frac: float = 0.05,
     camera_up_hint: tuple = (0.0, -1.0, 0.0),
 ) -> GroundPlaneResult:
     """Full ground-plane pipeline for one RGB-D frame.
@@ -111,12 +128,10 @@ def estimate_ground_plane(
     `src/Tracking_util.cc:785`).
     """
     pts, valid = depth_to_cloud(depth, intr, stride)
-    hint = jnp.asarray(camera_up_hint, dtype=pts.dtype)
-    pi, inl = ransac_plane(
-        pts, valid, key, normal_hint=hint, hint_cos_min=0.7
+    # Note: the inlier fraction is relative to VALID points; dense-depth
+    # callers previously used total pixels, so keep an equivalent gate.
+    res = estimate_ground_plane_points(
+        pts, valid, key, min_inlier_frac=0.0, camera_up_hint=camera_up_hint
     )
-    up = jnp.asarray(camera_up_hint, dtype=pi.dtype)
-    flip = jnp.sign(jnp.sum(pi[:3] * up) + 1e-12)
-    pi = pi * flip
-    ok = inl > min_inlier_frac * pts.shape[0]
-    return GroundPlaneResult(plane=pi, num_inliers=inl, ok=ok)
+    ok = res.num_inliers > 0.15 * pts.shape[0]
+    return GroundPlaneResult(plane=res.plane, num_inliers=res.num_inliers, ok=ok)

@@ -52,6 +52,11 @@ class ObjectTable(NamedTuple):
     last_seen_kf: jax.Array  # (Omax,) int32
     move_votes: jax.Array  # (Omax,) int32 — large single-frame displacements
     dynamic: jax.Array  # (Omax,) bool
+    # camera-object relative-pose measurement ring (the reference's
+    # `det->SE3Tco` per keyframe, consumed by joint BA)
+    pm_Toc: jax.Array  # (Omax, M, 4, 4) measured cam->object SE3
+    pm_kf: jax.Array  # (Omax, M) int32 keyframe id (-1 empty)
+    pm_next: jax.Array  # (Omax,) int32 ring cursor
 
 
 def empty_objects(
@@ -74,6 +79,9 @@ def empty_objects(
         last_seen_kf=jnp.zeros(omax, jnp.int32),
         move_votes=jnp.zeros(omax, jnp.int32),
         dynamic=jnp.zeros(omax, bool),
+        pm_Toc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (omax, obs_per_object, 1, 1)),
+        pm_kf=jnp.full((omax, obs_per_object), -1, jnp.int32),
+        pm_next=jnp.zeros(omax, jnp.int32),
     )
 
 
@@ -162,6 +170,23 @@ def integrate_keyframe(
 
         def do_assoc(tb):
             tb = _push_observation(tb, oid, Tcw, det_bbox[i], det_prob[i])
+            # Camera-object relative-pose measurement (the reference's
+            # `det->SE3Tco`): rigid pose of the single-frame ellipsoid fit.
+            M = tb.pm_kf.shape[1]
+            cur = tb.pm_next[oid] % M
+            R_det = quadric.euler_to_rotmat(det_ellipsoid_cam[i, 3:6])
+            T_co = lie.rt_to_se3(R_det, det_ellipsoid_cam[i, 0:3])
+            T_oc = lie.inv_se3(T_co)
+            tb = jax.lax.cond(
+                det_fit_ok[i],
+                lambda t: t._replace(
+                    pm_Toc=t.pm_Toc.at[oid, cur].set(T_oc),
+                    pm_kf=t.pm_kf.at[oid, cur].set(kf_id),
+                    pm_next=t.pm_next.at[oid].add(1),
+                ),
+                lambda t: t,
+                tb,
+            )
             # Dynamic/static arbitration (`GetNewObservations` `:151-192`):
             # a good single-frame fit landing far from the landmark while the
             # 2D association still matched is a motion vote; repeated votes
@@ -187,6 +212,12 @@ def integrate_keyframe(
             e_w = quadric.transform_ellipsoid(det_ellipsoid_cam[i], T_wc)
 
             def create(tb):
+                # The creating detection also yields the first camera-object
+                # pose measurement (reference: every detection records Tco).
+                R_det = quadric.euler_to_rotmat(det_ellipsoid_cam[i, 3:6])
+                T_oc0 = lie.inv_se3(
+                    lie.rt_to_se3(R_det, det_ellipsoid_cam[i, 0:3])
+                )
                 tb = tb._replace(
                     ellipsoid=tb.ellipsoid.at[nid].set(e_w),
                     label=tb.label.at[nid].set(det_label[i]),
@@ -196,6 +227,9 @@ def integrate_keyframe(
                     last_seen_kf=tb.last_seen_kf.at[nid].set(kf_id),
                     move_votes=tb.move_votes.at[nid].set(0),
                     dynamic=tb.dynamic.at[nid].set(False),
+                    pm_Toc=tb.pm_Toc.at[nid, 0].set(T_oc0),
+                    pm_kf=tb.pm_kf.at[nid, 0].set(kf_id),
+                    pm_next=tb.pm_next.at[nid].set(1),
                 )
                 return _push_observation(tb, nid, Tcw, det_bbox[i], det_prob[i])
 

@@ -87,6 +87,7 @@ class SlamSystem:
         self.velocity = np.eye(4, dtype=np.float32)
         self._pending_detections = None
         self._pending_depth = None
+        self._sensor = "rgbd"
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray, depth, detections=None) -> np.ndarray:
@@ -175,7 +176,7 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.stats["keyframes"] += 1
         if self.enable_objects and self._pending_detections is not None:
-            self._process_objects(self._pending_detections, self._pending_depth)
+            self._process_objects(self._pending_detections, self._pending_depth, frame)
         self._loop_closing(frame, 0)
 
     def _insert_keyframe(self, frame: FrameData, res: TrackResult):
@@ -206,8 +207,18 @@ class SlamSystem:
         self.stats["keyframes"] += 1
         if self.enable_objects and self._pending_detections is not None:
             t0 = time.perf_counter()
-            self._process_objects(self._pending_detections, self._pending_depth)
+            self._process_objects(self._pending_detections, self._pending_depth, frame)
             self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
+            # Stereo mode: joint camera-point-object BA over the window
+            # (the reference's `LocalJointBundleAdjustment` dispatch).
+            if self._sensor == "stereo" and int(jnp.sum(self.objects.valid)) > 0:
+                from .joint_mapping import joint_ba_step
+
+                self.map_state, self.objects = joint_ba_step(
+                    self.map_state, self.objects, self.cfg, self.ba_window
+                )
+                self.map_state = jax.block_until_ready(self.map_state)
+                self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
         self._loop_closing(frame, kf_id)
 
     # ------------------------------------------------------------------
@@ -245,17 +256,32 @@ class SlamSystem:
             self.loops_closed += 1
 
     # ------------------------------------------------------------------
-    def _process_objects(self, detections, depth):
+    def _process_objects(self, detections, depth, frame=None):
         """Keyframe-time object pipeline (`UpdateObjectObservation` path):
         ground plane (once) -> per-detection ellipsoid fit -> association ->
-        table integration -> multi-view refinement -> duplicate merge."""
+        table integration -> multi-view refinement -> duplicate merge.
+
+        Stereo mode fits from the sparse keypoint cloud (the reference's
+        KITTI path builds object clouds from LiDAR points the same way).
+        """
         cfg = self.cfg
         Tcw = jnp.asarray(self.Tcw)
         depth = jnp.asarray(depth)
         kf_id = int(self.map_state.num_kfs) - 1
+        sparse = self._sensor == "stereo" and frame is not None
+        if sparse:
+            kp_pts = backproject(frame.feats.xy, frame.depth, cfg.intr)
+            kp_ok = frame.depth > 0.0
 
         if self.ground_plane is None:
-            gp = estimate_ground_plane(depth, cfg.intr, jax.random.PRNGKey(kf_id))
+            if sparse:
+                from ..perception.groundplane import estimate_ground_plane_points
+
+                gp = estimate_ground_plane_points(
+                    kp_pts, kp_ok, jax.random.PRNGKey(kf_id)
+                )
+            else:
+                gp = estimate_ground_plane(depth, cfg.intr, jax.random.PRNGKey(kf_id))
             if bool(gp.ok):
                 # Store in world frame: pi_w = T_cw^T pi_c (planes transform
                 # by the inverse-transpose of the point map; see core.plane).
@@ -277,9 +303,25 @@ class SlamSystem:
 
         D = bbox.shape[0]
         keys = jax.random.split(jax.random.PRNGKey(1000 + kf_id), D)
-        fits = jax.vmap(
-            lambda b, k: fit_ellipsoid_depth(depth, b, pi_cam, cfg.intr, k)
-        )(bbox, keys)
+        if sparse:
+            from ..perception.ellipsoid_fit import fit_ellipsoid_points
+
+            def fit_one(b):
+                in_bbox = (
+                    (frame.feats.xy[:, 0] >= b[0])
+                    & (frame.feats.xy[:, 0] <= b[2])
+                    & (frame.feats.xy[:, 1] >= b[1])
+                    & (frame.feats.xy[:, 1] <= b[3])
+                )
+                return fit_ellipsoid_points(
+                    kp_pts, kp_ok & in_bbox, b, pi_cam, cfg.intr, min_points=8
+                )
+
+            fits = jax.vmap(fit_one)(bbox)
+        else:
+            fits = jax.vmap(
+                lambda b, k: fit_ellipsoid_depth(depth, b, pi_cam, cfg.intr, k)
+            )(bbox, keys)
 
         assoc = associate_detections(
             self.objects, Tcw, cfg.intr.K, bbox, label, dvalid
@@ -320,6 +362,7 @@ class SlamSystem:
         from ..frontend.orb import extract_features
         from ..frontend.stereo import depth_from_u_right, match_stereo
 
+        self._sensor = "stereo"
         cfg = self.cfg
         fl = extract_features(jnp.asarray(gray_left), cfg.orb)
         fr = extract_features(jnp.asarray(gray_right), cfg.orb)
