@@ -502,9 +502,13 @@ class SlamSystem:
     def summary(self) -> dict:
         tm = self.stats["track_ms"]
         bm = self.stats["ba_ms"]
+        fps = None
+        if tm:
+            fps = round(1000.0 / float(np.median(tm)), 2)
         return {
             "frames": self.stats["frames"],
             "keyframes": self.stats["keyframes"],
+            "track_fps": fps,
             "num_points": int(self.map_state.num_pts),
             "num_obs": int(self.map_state.num_obs),
             "num_objects": int(jnp.sum(self.objects.valid)),
