@@ -22,6 +22,11 @@ def main(argv=None):
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--detections", default=None, help="per-frame det npz dir")
+    ap.add_argument(
+        "--lidar-detections", action="store_true",
+        help="generate object detections from velodyne scans (detector3d "
+        "stand-in: ground removal + clustering)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -64,6 +69,12 @@ def main(argv=None):
             p = os.path.join(args.detections, f"{idx}.npz")
             if os.path.exists(p):
                 det = load_detection_cache(p)
+        elif args.lidar_detections:
+            from qsp_slam_tpu.perception.lidar_detect import lidar_detections
+
+            velo = seq.load_velodyne(idx, max_points=30000)
+            pts_cam = seq.transform_velo_to_cam(velo)
+            det = lidar_detections(pts_cam, cfg.intr, W, H)
         sysm.track_stereo(gl, gr, det)
         if (idx + 1) % 50 == 0:
             print(f"[{idx + 1}/{n}] kfs={sysm.stats['keyframes']}", file=sys.stderr)
