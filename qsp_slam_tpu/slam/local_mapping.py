@@ -1,13 +1,13 @@
-"""Local mapping: sliding-window bundle adjustment over the SoA map.
+"""Local mapping: covisibility-window bundle adjustment over the SoA map.
 
 Parity (behavior): `LocalMapping::RunOneTime` BA dispatch
-(`src/LocalMapping.cc:227-246`) — after each keyframe insertion the local
-window is re-optimized with the two-stage robust schedule.  The reference
-selects the window by covisibility; at this stage we use the last `window`
-keyframes (equivalent for exploratory trajectories) with the two oldest
-anchored, matching `LocalBundleAdjustment`'s fixed-frame semantics
-(`src/Optimizer.cc:458-784`).  Outlier edges are invalidated in the map's
-edge store (the reference erases observations).
+(`src/LocalMapping.cc:227-246`) — after each keyframe insertion the newest
+keyframe's covisibility neighborhood is re-optimized with the two-stage
+robust schedule, the two oldest in-window cameras anchored
+(`LocalBundleAdjustment` fixed-frame semantics, `src/Optimizer.cc:458-784`).
+Outlier edges are invalidated in the map's edge store (the reference erases
+observations).  Also here: global BA, keyframe culling, map-point fusion,
+point culling.
 """
 
 from __future__ import annotations

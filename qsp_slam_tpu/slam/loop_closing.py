@@ -148,7 +148,7 @@ def correct_loop(
     # odometry edges (i, i+1) for i+1 < K
     odo_i = ids
     odo_j = jnp.clip(ids + 1, 0, Kmax - 1)
-    odo_T = jax.vmap(lambda a, b: relative_measurement(a, b, False))(
+    odo_T = jax.vmap(lambda a, b: relative_measurement(a, b, not fix_scale))(
         poses[odo_i], poses[odo_j]
     )
     odo_w = ((odo_j < K) & (odo_i < odo_j)).astype(jnp.float32)
@@ -167,10 +167,16 @@ def correct_loop(
         weight=jnp.concatenate([odo_w, loop_w]),
     )
     fixed = (ids == 0) | (ids >= K)
-    new_poses, _ = optimize_pose_graph(poses, fixed, edges, sim3=False, iters=iters)
+    # Monocular mode optimizes over Sim(3) — scale drift is the dominant
+    # loop error (`OptimizeEssentialGraph` with unfixed scale); RGB-D/stereo
+    # keep scale fixed (`mbFixScale`).
+    new_poses, _ = optimize_pose_graph(
+        poses, fixed, edges, sim3=not fix_scale, iters=iters
+    )
 
     # Correction transform per keyframe: T_corr(k) = T_wk_new @ T_kw_old.
-    T_corr = jax.vmap(lambda a, b: lie.inv_se3(a) @ b)(new_poses, poses)
+    inv = lie.inv_se3 if fix_scale else lie.inv_sim3
+    T_corr = jax.vmap(lambda a, b: inv(a) @ b)(new_poses, poses)
 
     # Anchor of each point = its first observing keyframe (edge store min).
     Nmax = m.pt_xyz.shape[0]

@@ -235,13 +235,16 @@ class SlamSystem:
         )
         if not self.enable_loop_closing or kf_id < 12:
             return
+        fix_scale = self._sensor != "mono"
         det = detect_loop(
             self.loop_state, frame.feats.desc_pm, frame.feats.valid,
             pts_cam, pts_ok, jax.random.PRNGKey(77 + kf_id),
+            fix_scale=fix_scale,
         )
         if bool(det.found):
             self.map_state, self.objects = correct_loop(
                 self.map_state, self.objects, jnp.int32(kf_id), det,
+                fix_scale=fix_scale,
             )
             # Global BA after the pose-graph correction (the reference's
             # detached-thread `RunGlobalJointBundleAdjustment`, run inline
@@ -382,6 +385,7 @@ class SlamSystem:
     def track_mono(self, gray) -> np.ndarray:
         """Monocular frame: two-view bootstrap, then the common tracking loop
         with triangulation-based map growth (scale is the mono gauge)."""
+        self._sensor = "mono"
         cfg = self.cfg
         zero_depth = np.zeros((cfg.height, cfg.width), np.float32)
         frame = process_frame(jnp.asarray(gray), jnp.asarray(zero_depth), cfg)
