@@ -45,6 +45,7 @@ from .tracking import (
     TrackResult,
     keyframe_insertion,
     need_keyframe,
+    process_and_track,
     process_frame,
     track_frame,
 )
@@ -100,6 +101,11 @@ class SlamSystem:
         self._pending_detections = detections
         self._pending_depth = depth
         cfg = self.cfg
+        # Two dispatches (process, then track) measured FASTER end to end on
+        # this stack than the fused `process_and_track` single dispatch
+        # (198 ms vs 113 ms median + minutes more remote compile): the big
+        # fused graph schedules worse than two medium ones. Revisit on
+        # locally-attached hardware.
         frame = process_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
 
         if not self.initialized:

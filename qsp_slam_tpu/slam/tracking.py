@@ -173,6 +173,24 @@ def track_frame(
 
 
 @partial(jax.jit, static_argnames=("cfg",))
+def process_and_track(
+    gray: jax.Array,
+    depth_img: jax.Array,
+    m: MapState,
+    Tcw_pred: jax.Array,
+    cfg: TrackingConfig,
+) -> tuple[FrameData, TrackResult]:
+    """Fused per-frame step: feature processing + tracking in ONE dispatch.
+
+    On tunneled/remote devices each dispatch costs a round trip; fusing the
+    two per-frame stages halves that fixed overhead (the separate functions
+    remain for the initialization paths).
+    """
+    frame = process_frame(gray, depth_img, cfg)
+    return frame, track_frame(m, Tcw_pred, frame, cfg)
+
+
+@partial(jax.jit, static_argnames=("cfg",))
 def keyframe_insertion(
     m: MapState,
     Tcw: jax.Array,
