@@ -65,8 +65,16 @@ def empty_database(kmax: int = 64) -> PlaceDatabase:
 
 @jax.jit
 def add_signature(db: PlaceDatabase, sig: jax.Array) -> PlaceDatabase:
+    """Append a signature; at capacity the write is dropped (no clamp
+    overwrite of the newest stored keyframe) — hosts grow the store first."""
+    kmax = db.signatures.shape[0]
+    fits = db.count < kmax
+    slot = jnp.clip(db.count, 0, kmax - 1)
     return PlaceDatabase(
-        signatures=db.signatures.at[db.count].set(sig), count=db.count + 1
+        signatures=db.signatures.at[slot].set(
+            jnp.where(fits, sig, db.signatures[slot])
+        ),
+        count=db.count + fits.astype(jnp.int32),
     )
 
 
@@ -85,3 +93,23 @@ def query(
     scores = jnp.where(ok, scores, -1.0)
     best = jnp.argmax(scores)
     return best.astype(jnp.int32), scores[best]
+
+
+@partial(jax.jit, static_argnames=("k",))
+def query_topk(
+    db: PlaceDatabase, sig: jax.Array, k: int = 4, exclude_recent: int = 10
+) -> tuple[jax.Array, jax.Array]:
+    """Top-k loop candidates (ids (k,), scores (k,)); ids are -1 where the
+    database has fewer eligible entries (parity: `DetectLoopCandidates`
+    returns a candidate LIST that feeds consistency grouping,
+    `src/KeyFrameDatabase.cc:76`)."""
+    scores = db.signatures @ sig
+    kf_ids = jnp.arange(db.signatures.shape[0])
+    ok = kf_ids < db.count - exclude_recent
+    scores = jnp.where(ok, scores, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(scores, k)
+    good = jnp.isfinite(top_scores)
+    return (
+        jnp.where(good, top_ids.astype(jnp.int32), -1),
+        jnp.where(good, top_scores, -1.0),
+    )
