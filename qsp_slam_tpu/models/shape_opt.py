@@ -36,6 +36,10 @@ class ShapeOptConfig(NamedTuple):
     huber_sdf: float = 0.05
     huber_render: float = 0.15
     lm_lambda0: float = 1e-2
+    # Orientation (flip) search: number of up-axis rotation hypotheses per
+    # object, optimized in parallel, best robust cost wins (reference
+    # `flip_sample_num`, `src/LocalMapping_util.cc:713-760`).
+    num_flips: int = 4
 
 
 class ShapeOptResult(NamedTuple):
@@ -159,6 +163,69 @@ def reconstruct_object(
         jnp.isfinite(T_oc)
     )
     return ShapeOptResult(T_oc=T_oc, code=code, cost=cost, is_good=is_good)
+
+
+def _rot_y_h(angle: jax.Array) -> jax.Array:
+    """Homogeneous rotation about the object-frame up (y) axis."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    return jnp.asarray(
+        [[c, 0.0, s, 0.0], [0.0, 1.0, 0.0, 0.0],
+         [-s, 0.0, c, 0.0], [0.0, 0.0, 0.0, 1.0]]
+    )
+
+
+def flip_hypotheses(T_oc_init: jax.Array, num_flips: int) -> jax.Array:
+    """(F, 4, 4) up-axis rotations of the initial object frame — the
+    orientation-search hypothesis set (`flip_sample_num`,
+    `src/LocalMapping_util.cc:713-760`).  Rotating the OBJECT frame:
+    p_o' = R p_o  =>  T_o'c = R_h @ T_oc."""
+    F = max(1, num_flips)
+    angles = 2.0 * jnp.pi * jnp.arange(F, dtype=jnp.float32) / F
+    return jax.vmap(lambda a: _rot_y_h(a) @ T_oc_init)(angles)
+
+
+@partial(jax.jit, static_argnames=("dec_cfg", "opt_cfg"))
+def reconstruct_object_flips(
+    params,
+    dec_cfg: DeepSDFConfig,
+    T_oc_init: jax.Array,
+    code_init: jax.Array,
+    pts_cam: jax.Array,
+    pts_valid: jax.Array,
+    rays_cam: jax.Array,
+    depth_obs: jax.Array,
+    rays_valid: jax.Array,
+    opt_cfg: ShapeOptConfig = ShapeOptConfig(),
+) -> tuple[ShapeOptResult, jax.Array]:
+    """Orientation search: `opt_cfg.num_flips` up-axis rotations of the
+    initial object frame are optimized as ONE vmapped batch; the hypothesis
+    with the lowest final robust cost (among converged ones) wins.
+
+    Parity: the reference's serial y-flip retry loop until
+    `findGoodOrientation` (`src/LocalMapping_util.cc:713-760`,
+    `flip_sample_num`=4) — an object initialized with a wrong yaw/flip
+    otherwise converges to a mirror-image shape.  Returns (result,
+    chosen_flip_index).
+    """
+    T_hyp = flip_hypotheses(T_oc_init, opt_cfg.num_flips)
+    res = jax.vmap(
+        lambda T: reconstruct_object(
+            params, dec_cfg, T, code_init, pts_cam, pts_valid,
+            rays_cam, depth_obs, rays_valid, opt_cfg,
+        )
+    )(T_hyp)
+    costs = jnp.where(res.is_good, res.cost, jnp.inf)
+    best = jnp.argmin(costs)
+    pick = jnp.where(jnp.any(res.is_good), best, 0).astype(jnp.int32)
+    return (
+        ShapeOptResult(
+            T_oc=res.T_oc[pick],
+            code=res.code[pick],
+            cost=res.cost[pick],
+            is_good=res.is_good[pick],
+        ),
+        pick,
+    )
 
 
 @partial(jax.jit, static_argnames=("dec_cfg", "iters"))

@@ -21,7 +21,11 @@ import jax.numpy as jnp
 from ..core import lie, quadric
 from ..core.camera import Intrinsics, backproject, pixel_rays
 from ..models.deepsdf import DeepSDFConfig
-from ..models.shape_opt import ShapeOptConfig, reconstruct_object
+from ..models.shape_opt import (
+    ShapeOptConfig,
+    ShapeOptResult,
+    reconstruct_object,
+)
 from .objects import ObjectTable
 
 SCALE_MARGIN = 1.4  # ellipsoid max-half-axis -> unit-sphere scale margin
@@ -113,16 +117,52 @@ def reconstruct_due_objects(
     Tcw: jax.Array,
     opt_cfg: ShapeOptConfig = ShapeOptConfig(),
 ) -> ObjectTable:
-    """vmapped joint pose+code GN over all due objects; fold results back."""
+    """vmapped joint pose+code GN over all due objects x their
+    `opt_cfg.num_flips` orientation hypotheses in ONE call; the lowest-cost
+    converged hypothesis per object is folded back (the reference's serial
+    per-object per-flip loop, `src/LocalMapping_util.cc:713-760`).
 
-    def one(T_oc, code, pts, ok, rays, z):
-        return reconstruct_object(
-            params, dec_cfg, T_oc, code, pts, ok, rays, z, ok, opt_cfg
-        )
+    The (objects, flips) grid is FLATTENED to one batch axis and evaluated
+    in `batch_size=O` chunks via `lax.map` — a nested vmap (objects over a
+    flips-vmap around the LM while-loop) produces HLO the TPU compiler
+    chokes on, and a single full-width vmap holds F x the round-1 jacfwd
+    working set (the decoder tangent batch is ~2.3 GB per O-wide chunk;
+    4 flips at once exceeds v5e HBM).  Chunking trades F sequential passes
+    for bounded peak memory inside ONE jit."""
+    from ..models.shape_opt import flip_hypotheses
 
-    res = jax.vmap(one)(
-        inputs.T_oc_init, table.code, inputs.pts_cam, inputs.pts_ok,
-        inputs.rays, inputs.depth_obs,
+    O = table.code.shape[0]
+    F = max(1, opt_cfg.num_flips)
+    T_hyp = jax.vmap(flip_hypotheses, in_axes=(0, None))(
+        inputs.T_oc_init, F
+    )  # (O, F, 4, 4)
+
+    def flat(x, reps):
+        return jnp.repeat(x, reps, axis=0)
+
+    res_f = jax.lax.map(
+        lambda args: reconstruct_object(
+            params, dec_cfg, args[0], args[1], args[2], args[3], args[4],
+            args[5], args[3], opt_cfg,
+        ),
+        (
+            T_hyp.reshape(O * F, 4, 4),
+            flat(table.code, F), flat(inputs.pts_cam, F),
+            flat(inputs.pts_ok, F), flat(inputs.rays, F),
+            flat(inputs.depth_obs, F),
+        ),
+        batch_size=O,
+    )
+    # Per-object best converged hypothesis.
+    costs = jnp.where(res_f.is_good, res_f.cost, jnp.inf).reshape(O, F)
+    best = jnp.argmin(costs, axis=1)
+    pick = jnp.where(
+        jnp.any(res_f.is_good.reshape(O, F), axis=1), best, 0
+    ).astype(jnp.int32)
+    sel = jnp.arange(O) * F + pick
+    res = ShapeOptResult(
+        T_oc=res_f.T_oc[sel], code=res_f.code[sel],
+        cost=res_f.cost[sel], is_good=res_f.is_good[sel],
     )
     good = inputs.due & res.is_good
     T_ow_new = jnp.einsum("oij,jk->oik", res.T_oc, Tcw)  # (cam->obj) @ (w->cam)
