@@ -30,7 +30,14 @@ from ..opt.pose_graph import PoseGraphEdges, optimize_pose_graph, relative_measu
 from ..opt.sim3_solver import ransac_sim3
 from .map import MapState
 from .objects import ObjectTable, merge_duplicates
-from .place_recognition import PlaceDatabase, add_signature, bow_signature, empty_database, query
+from .place_recognition import (
+    PlaceDatabase,
+    add_signature,
+    bow_signature,
+    empty_database,
+    query,
+    query_topk,
+)
 
 
 class LoopState(NamedTuple):
@@ -62,18 +69,59 @@ def snapshot_keyframe(
     pts_ok: jax.Array,  # (F,)
     xy: jax.Array,  # (F, 2) pixel positions
 ) -> LoopState:
-    """Store a fixed-size snapshot (strongest-first order assumed) + signature."""
+    """Store a fixed-size snapshot (strongest-first order assumed) + signature.
+
+    Capacity-guarded like the map stores: at capacity the snapshot is
+    dropped whole (slot k <-> KF k alignment must never shift by one)."""
     S = ls.kf_desc.shape[1]
-    kid = ls.db.count
+    Kmax = ls.kf_desc.shape[0]
+    fits = ls.db.count < Kmax
+    kid = jnp.clip(ls.db.count, 0, Kmax - 1)
     sig = bow_signature(desc_pm, feat_valid)
+    sel = lambda new, old: jnp.where(fits, new, old)
+
+    def fit_rows(x, fill):
+        """First S rows, zero-padded when the feature table is smaller."""
+        if x.shape[0] >= S:
+            return x[:S]
+        pad = jnp.full((S - x.shape[0],) + x.shape[1:], fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
     return LoopState(
         db=add_signature(ls.db, sig),
-        kf_desc=ls.kf_desc.at[kid].set(desc_pm[:S]),
-        kf_pts_cam=ls.kf_pts_cam.at[kid].set(pts_cam[:S]),
-        kf_pts_ok=ls.kf_pts_ok.at[kid].set(pts_ok[:S] & feat_valid[:S]),
-        kf_xy=ls.kf_xy.at[kid].set(xy[:S]),
-        kf_feat_ok=ls.kf_feat_ok.at[kid].set(feat_valid[:S]),
+        kf_desc=ls.kf_desc.at[kid].set(sel(fit_rows(desc_pm, 0), ls.kf_desc[kid])),
+        kf_pts_cam=ls.kf_pts_cam.at[kid].set(
+            sel(fit_rows(pts_cam, 0.0), ls.kf_pts_cam[kid])
+        ),
+        kf_pts_ok=ls.kf_pts_ok.at[kid].set(
+            sel(fit_rows(pts_ok & feat_valid, False), ls.kf_pts_ok[kid])
+        ),
+        kf_xy=ls.kf_xy.at[kid].set(sel(fit_rows(xy, 0.0), ls.kf_xy[kid])),
+        kf_feat_ok=ls.kf_feat_ok.at[kid].set(
+            sel(fit_rows(feat_valid, False), ls.kf_feat_ok[kid])
+        ),
     )
+
+
+def grow_loop_state(ls: LoopState, kmax: int) -> LoopState:
+    """Host-side growth matching `map.grow_map` (snapshot slots track KF ids,
+    so the two stores must grow together)."""
+    k0, snap = ls.kf_desc.shape[:2]
+    if kmax <= k0:
+        return ls
+    tgt = empty_loop_state(kmax, snap)
+    rep = {
+        name: getattr(tgt, name)
+        .at[tuple(slice(0, s) for s in getattr(ls, name).shape)]
+        .set(getattr(ls, name))
+        for name in LoopState._fields
+        if name != "db"
+    }
+    rep["db"] = tgt.db._replace(
+        signatures=tgt.db.signatures.at[:k0].set(ls.db.signatures),
+        count=ls.db.count,
+    )
+    return LoopState(**rep)
 
 
 class LoopDetection(NamedTuple):
@@ -82,6 +130,84 @@ class LoopDetection(NamedTuple):
     T_cur_match: jax.Array  # (4, 4) current-cam <- match-cam similarity
     num_inliers: jax.Array  # int32
     score: jax.Array  # f32 appearance score
+
+
+class ConsistencyGate:
+    """Covisibility-consistency gating over consecutive loop detections.
+
+    Parity: `LoopClosing::DetectLoop`'s consistency groups
+    (`src/LoopClosing.cc:113-241`, `mnCovisibilityConsistencyTh=3`): a
+    candidate only proceeds to geometric verification after its
+    neighborhood has appeared in `required` CONSECUTIVE detection rounds.
+    The reference's covisibility groups are approximated by keyframe-id
+    neighborhoods (adjacent keyframes are covisible by construction of the
+    keyframe policy).  Host-side state — tiny, per-keyframe.
+    """
+
+    def __init__(self, required: int = 3, neighborhood: int = 3):
+        self.required = required
+        self.neighborhood = neighborhood
+        self.history: list[list[int]] = []
+
+    def update(self, cands, scores) -> int:
+        """Feed this round's candidates; returns the best consistent
+        candidate id, or -1 if none has a `required`-round streak yet."""
+        cands = [int(c) for c in np.asarray(cands)]
+        scores = [float(s) for s in np.asarray(scores)]
+        best_id, best_score = -1, -np.inf
+        have = len(self.history) >= self.required - 1
+        for c, s in zip(cands, scores):
+            if c < 0:
+                continue
+            if have and all(
+                any(abs(c - c2) <= self.neighborhood for c2 in h)
+                for h in self.history[-(self.required - 1):]
+            ):
+                if s > best_score:
+                    best_id, best_score = c, s
+        self.history.append([c for c in cands if c >= 0])
+        if len(self.history) > self.required:
+            self.history = self.history[-self.required:]
+        return best_id
+
+    def reset(self):
+        self.history = []
+
+
+@partial(jax.jit, static_argnames=("fix_scale",))
+def verify_loop(
+    ls: LoopState,
+    cand: jax.Array,  # int32 candidate keyframe id
+    desc_pm: jax.Array,  # current KF features (F, 256)
+    feat_valid: jax.Array,
+    pts_cam: jax.Array,  # (F, 3)
+    pts_ok: jax.Array,
+    key: jax.Array,
+    min_inliers: int = 20,
+    fix_scale: bool = True,
+) -> LoopDetection:
+    """Geometric loop verification: mutual descriptor match against the
+    candidate snapshot + RANSAC Sim3 on matched camera-frame points
+    (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:241`)."""
+    cand_c = jnp.clip(cand, 0)
+    m = matcher.mutual_match(
+        desc_pm, feat_valid & pts_ok,
+        ls.kf_desc[cand_c], ls.kf_pts_ok[cand_c],
+        max_dist=matcher.TH_LOW, ratio=0.9,
+    )
+    midx = jnp.clip(m.idx, 0)
+    src = ls.kf_pts_cam[cand_c][midx]
+    res = ransac_sim3(
+        src, pts_cam, m.valid, key, with_scale=not fix_scale, inlier_th=0.12
+    )
+    found = (cand >= 0) & res.ok & (res.num_inliers >= min_inliers)
+    return LoopDetection(
+        found=found,
+        match_kf=cand,
+        T_cur_match=res.T_ds,
+        num_inliers=res.num_inliers,
+        score=jnp.float32(0.0),
+    )
 
 
 @partial(jax.jit, static_argnames=("fix_scale",))
@@ -135,10 +261,12 @@ def correct_loop(
 ) -> tuple[MapState, ObjectTable]:
     """Pose-graph correction + map/object re-anchoring.
 
-    Edges: odometry chain between consecutive keyframes (from current
-    estimates) + the verified loop edge.  After optimization every map point
-    and object is moved by its anchor keyframe's correction
-    T_w_new <- T_w_old.
+    Essential graph (parity: `Optimizer::OptimizeEssentialGraph`,
+    `src/Optimizer.cc:785-1049`): odometry chain (the spanning tree of the
+    sequential keyframe policy) + COVISIBILITY edges mined from the shared-
+    observation counts in the edge store + the verified loop edge.  After
+    optimization every map point and object is moved by its anchor
+    keyframe's correction T_w_new <- T_w_old.
     """
     Kmax = m.kf_Tcw.shape[0]
     K = m.num_kfs
@@ -148,23 +276,49 @@ def correct_loop(
     # odometry edges (i, i+1) for i+1 < K
     odo_i = ids
     odo_j = jnp.clip(ids + 1, 0, Kmax - 1)
-    odo_T = jax.vmap(lambda a, b: relative_measurement(a, b, not fix_scale))(
-        poses[odo_i], poses[odo_j]
-    )
     odo_w = ((odo_j < K) & (odo_i < odo_j)).astype(jnp.float32)
+
+    # Covisibility edges: shared-valid-observation counts between keyframe
+    # pairs as one int8 MXU matmul over the per-KF point incidence, then the
+    # strongest non-adjacent pairs (the reference's >=100-weight covisible
+    # edges, `src/Optimizer.cc:855`).
+    Nmax = m.pt_xyz.shape[0]
+    seen = jnp.zeros((Kmax, Nmax), jnp.int8).at[
+        jnp.where(m.ob_valid, m.ob_kf, 0),
+        jnp.where(m.ob_valid, m.ob_pt, 0),
+    ].max(m.ob_valid.astype(jnp.int8))
+    covis = jax.lax.dot_general(
+        seen, seen, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (Kmax, Kmax) shared-point counts
+    pair_ok = (
+        (ids[None, :] > ids[:, None] + 1)  # above diagonal, skip adjacent
+        & (ids[None, :] < K)
+        & m.kf_valid[:, None]
+        & m.kf_valid[None, :]
+        & (covis >= 20)
+    )
+    E_cov = 4 * Kmax
+    flat = jnp.where(pair_ok, covis, 0).reshape(-1)
+    top_c, top_idx = jax.lax.top_k(flat, E_cov)
+    cov_i = (top_idx // Kmax).astype(jnp.int32)
+    cov_j = (top_idx % Kmax).astype(jnp.int32)
+    cov_w = jnp.where(top_c > 0, jnp.clip(top_c / 50.0, 0.2, 2.0), 0.0)
+
+    all_i = jnp.concatenate([odo_i, cov_i, cur_kf[None]])
+    all_j = jnp.concatenate([odo_j, cov_j, det.match_kf[None]])
+    meas_T = jax.vmap(lambda a, b: relative_measurement(a, b, not fix_scale))(
+        poses[all_i[:-1]], poses[all_j[:-1]]
+    )
     # loop edge: T_cur_match maps match-cam points into cur-cam:
     # p_cur = T_cm p_match => T_cur_w = T_cm @ T_match_w => measurement
     # M(cur, match) = T_cur_w T_match_w^-1 = T_cm.
-    loop_i = cur_kf[None]
-    loop_j = det.match_kf[None]
-    loop_T = det.T_cur_match[None]
     loop_w = jnp.where(det.found, 5.0, 0.0)[None]
 
     edges = PoseGraphEdges(
-        i=jnp.concatenate([odo_i, loop_i]),
-        j=jnp.concatenate([odo_j, loop_j]),
-        T_ij=jnp.concatenate([odo_T, loop_T]),
-        weight=jnp.concatenate([odo_w, loop_w]),
+        i=all_i,
+        j=all_j,
+        T_ij=jnp.concatenate([meas_T, det.T_cur_match[None]]),
+        weight=jnp.concatenate([odo_w, cov_w, loop_w]),
     )
     fixed = (ids == 0) | (ids >= K)
     # Monocular mode optimizes over Sim(3) — scale drift is the dominant

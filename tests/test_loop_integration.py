@@ -62,11 +62,16 @@ class TestLoopDetection:
             exclude_recent=10,
         )
         assert bool(det.found)
-        assert int(det.match_kf) == 0
-        # T_cur_match maps KF0-frame points into current-frame:
-        # p_cur = T_cw_cur @ T_wc_match @ p_match = T_off (since match = I).
+        # The query sits between KF 0 (offset 0.05) and KF 1 (offset 0.12);
+        # either is a correct appearance match — what must hold exactly is
+        # the geometric consistency of the recovered relative pose below.
+        mk = int(det.match_kf)
+        assert mk in (0, 1)
+        # T_cur_match maps match-frame points into the current frame:
+        # p_cur = T_cw_cur @ T_wc_match @ p_match.
+        expected = np.asarray(T_cur) @ np.linalg.inv(np.asarray(poses[mk]))
         np.testing.assert_allclose(
-            np.asarray(det.T_cur_match), np.asarray(T_cur), atol=0.03
+            np.asarray(det.T_cur_match), expected, atol=0.03
         )
 
     def test_no_false_positive_on_new_view(self, loop_scene):
