@@ -37,15 +37,24 @@ def make_room(
     rng = np.random.default_rng(seed)
 
     def band_noise():
+        # Two-band noise: low band gives large-scale structure, high band
+        # gives the corner density of real indoor surfaces (wood grain /
+        # carpet / road) so FAST fires on floors too, not just walls —
+        # sparse mono ground estimation needs actual floor features.
         n = rng.normal(size=(tex_size, tex_size)).astype(np.float32)
         # cheap band-pass via FFT masking (scipy-free)
         F = np.fft.rfft2(n)
         fy = np.fft.fftfreq(tex_size)[:, None]
         fx = np.fft.rfftfreq(tex_size)[None, :]
         r = np.sqrt(fx * fx + fy * fy)
-        F *= np.exp(-((r - 0.08) ** 2) / (2 * 0.05**2))
-        out = np.fft.irfft2(F, s=(tex_size, tex_size))
-        out = (out - out.min()) / (out.max() - out.min())
+        lo = F * np.exp(-((r - 0.08) ** 2) / (2 * 0.05**2))
+        hi = F * np.exp(-((r - 0.22) ** 2) / (2 * 0.08**2))
+
+        def norm(Fm):
+            out = np.fft.irfft2(Fm, s=(tex_size, tex_size))
+            return (out - out.min()) / (out.max() - out.min())
+
+        out = 0.65 * norm(lo) + 0.35 * norm(hi)
         return (40.0 + 180.0 * out).astype(np.float32)
 
     # plane list: +x, -x, +y, -y, +z, -z walls (inward normals)
@@ -71,27 +80,56 @@ def make_room(
 
 
 class Scene(NamedTuple):
-    """Room + ellipsoid objects (ground-truth object landmarks)."""
+    """Room + ellipsoid objects (ground-truth object landmarks) + optional
+    horizontal slabs (table tops — Manhattan structure for the relation
+    pipeline)."""
 
     room: BoxRoom
     ellipsoids: jax.Array  # (O, 9) minimal vectors in world frame
     labels: jax.Array  # (O,) int32 semantic labels
     albedo: jax.Array  # (O,) f32 base gray value
+    slabs: jax.Array = jnp.zeros((0, 5), jnp.float32)  # (S, 5) cx, y, cz, hx, hz
+    slab_albedo: jax.Array = jnp.zeros((0,), jnp.float32)
 
 
-def make_scene(num_objects: int = 4, seed: int = 1, half_extent=(4.0, 2.2, 4.0)) -> Scene:
-    """Room with ellipsoid objects resting on the floor (y = +hy, y down)."""
+def make_scene(
+    num_objects: int = 4,
+    seed: int = 1,
+    half_extent=(4.0, 2.2, 4.0),
+    num_tables: int = 0,
+    table_height: float = 0.75,
+) -> Scene:
+    """Room with ellipsoid objects resting on the floor (y = +hy, y down).
+
+    With `num_tables` > 0, horizontal table slabs are added and the FIRST
+    `num_tables` objects rest on them instead of the floor (the supporting-
+    plane / relation test scenario, `src/Relationship/Relationship.cpp`).
+    """
     room = make_room(half_extent=half_extent, seed=seed)
     rng = np.random.default_rng(seed + 100)
     hx, hy, hz = half_extent
+    slabs, slab_albedo = [], []
+    for t in range(num_tables):
+        cx = rng.uniform(-hx * 0.4, hx * 0.4)
+        cz = rng.uniform(1.6, hz * 0.8)
+        y_top = hy - table_height  # table top surface height (y down)
+        slabs.append([cx, y_top, cz, rng.uniform(0.7, 1.0), rng.uniform(0.5, 0.8)])
+        slab_albedo.append(rng.uniform(90.0, 150.0))
     els, labels, albedo = [], [], []
     for i in range(num_objects):
         half = rng.uniform([0.12, 0.10, 0.12], [0.35, 0.30, 0.35])
-        x = rng.uniform(-hx * 0.6, hx * 0.6)
-        z = rng.uniform(0.8, hz * 0.9)
         yaw = rng.uniform(0, np.pi)
-        # resting on floor: camera-up is -y, floor at y=+hy
-        y = hy - half[1]
+        if i < num_tables:
+            # resting on table i (inside its footprint)
+            s = slabs[i]
+            x = s[0] + rng.uniform(-0.4, 0.4) * s[3]
+            z = s[2] + rng.uniform(-0.4, 0.4) * s[4]
+            y = s[1] - half[1]
+        else:
+            x = rng.uniform(-hx * 0.6, hx * 0.6)
+            z = rng.uniform(0.8, hz * 0.9)
+            # resting on floor: camera-up is -y, floor at y=+hy
+            y = hy - half[1]
         # rotation about the world up axis (-y): roll/pitch zero in a frame
         # whose z is up; build via euler (rot about y)
         els.append([x, y, z, 0.0, yaw, 0.0, half[0], half[1], half[2]])
@@ -99,9 +137,11 @@ def make_scene(num_objects: int = 4, seed: int = 1, half_extent=(4.0, 2.2, 4.0))
         albedo.append(rng.uniform(120.0, 240.0))
     return Scene(
         room=room,
-        ellipsoids=jnp.asarray(np.array(els, np.float32)),
+        ellipsoids=jnp.asarray(np.array(els, np.float32).reshape(-1, 9)),
         labels=jnp.asarray(np.array(labels, np.int32)),
         albedo=jnp.asarray(np.array(albedo, np.float32)),
+        slabs=jnp.asarray(np.array(slabs, np.float32).reshape(-1, 5)),
+        slab_albedo=jnp.asarray(np.array(slab_albedo, np.float32)),
     )
 
 
@@ -227,6 +267,29 @@ def render_scene(
         g = alb * lam * (0.75 + 0.45 * ripple)
         return t, g
 
+    # Horizontal slabs (table tops): ray ∩ plane y = y_top, bounded extent.
+    if scene.slabs.shape[0] > 0:
+
+        def one_slab(s, alb):
+            cx, y_top, cz, shx, shz = s[0], s[1], s[2], s[3], s[4]
+            dy = rays_w[..., 1]
+            t = (y_top - c_w[1]) / jnp.where(jnp.abs(dy) < 1e-9, 1e-9, dy)
+            p = c_w + rays_w * t[..., None]
+            inside = (jnp.abs(p[..., 0] - cx) < shx) & (jnp.abs(p[..., 2] - cz) < shz)
+            t = jnp.where((t > 0.05) & inside, t, jnp.inf)
+            ripple = 0.5 + 0.5 * jnp.sin(17.0 * p[..., 0]) * jnp.sin(13.0 * p[..., 2])
+            g = alb * (0.8 + 0.4 * ripple)
+            return t, g
+
+        ts_s, gs_s = jax.vmap(one_slab)(scene.slabs, scene.slab_albedo)
+        t_slab = jnp.min(ts_s, axis=0)
+        s_best = jnp.argmin(ts_s, axis=0)
+        slab_hit = jnp.isfinite(t_slab) & ((t_slab < depth_bg) | (depth_bg <= 0.0))
+        gray_bg = jnp.where(
+            slab_hit, jnp.take_along_axis(gs_s, s_best[None], 0)[0], gray_bg
+        )
+        depth_bg = jnp.where(slab_hit, t_slab, depth_bg)
+
     ts, gs = jax.vmap(one_obj)(scene.ellipsoids, scene.albedo)  # (O, H, W)
     t_best = jnp.min(ts, axis=0)
     o_best = jnp.argmin(ts, axis=0).astype(jnp.int32)
@@ -272,14 +335,20 @@ def gt_detections(
     }
 
 
-def orbit_trajectory(num_frames: int, step: float = 0.02) -> np.ndarray:
+def orbit_trajectory(
+    num_frames: int, step: float = 0.02, pitch: float = 0.0
+) -> np.ndarray:
     """Smooth camera arc inside the room with CONSTANT per-frame motion.
 
     `step` is the arc parameter increment per frame (radians); at the default
     the inter-frame image motion is ~10 px at 4 m depth — the 30 fps handheld
     regime the tracking search windows are tuned for (as in TUM sequences).
+    `pitch` tilts the camera down (radians) so floor objects enter the FOV
+    (a level camera at head height never sees the floor 2 m below it).
     Returns T_cw stack (F, 4, 4), float32.
     """
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    R_pitch = np.array([[1, 0, 0], [0, cp, sp], [0, -sp, cp]], np.float32)
     poses = []
     for i in range(num_frames):
         th = i * step
@@ -290,7 +359,7 @@ def orbit_trajectory(num_frames: int, step: float = 0.02) -> np.ndarray:
         cy, sy = np.cos(yaw), np.sin(yaw)
         R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         T_wc = np.eye(4, dtype=np.float32)
-        T_wc[:3, :3] = R_wc
+        T_wc[:3, :3] = R_wc @ R_pitch
         T_wc[:3, 3] = cpos
         poses.append(np.linalg.inv(T_wc))
     return np.stack(poses).astype(np.float32)

@@ -44,6 +44,52 @@ def _sample_bbox_pixels(
     return jnp.stack([u, v], axis=-1)
 
 
+def sample_bbox_depth_points(
+    depth: jax.Array,
+    bbox: jax.Array,
+    intr: Intrinsics,
+    key: jax.Array,
+    num_samples: int = 1024,
+    depth_min: float = 0.1,
+    depth_max: float = 8.0,
+) -> tuple[jax.Array, jax.Array]:
+    """Backproject a random pixel sample inside the bbox -> (pts, valid)."""
+    H, W = depth.shape
+    uv = _sample_bbox_pixels(bbox, num_samples, key)
+    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
+    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
+    z = depth[vi, ui]
+    pts = backproject(jnp.stack([ui, vi], -1).astype(depth.dtype), z, intr)
+    valid = (z > depth_min) & (z < depth_max)
+    return pts, valid
+
+
+def core_mask(
+    pts: jax.Array,
+    valid: jax.Array,
+    ground_plane_cam: jax.Array,
+    ground_margin: float = 0.03,
+) -> jax.Array:
+    """Object-core isolation: drop supporting-plane points, keep the central
+    depth mode (median +- 3 MAD per axis) — the PCL filter/cluster stand-in."""
+    gdist = pts @ ground_plane_cam[:3] + ground_plane_cam[3]
+    valid = valid & (gdist > ground_margin)
+
+    def masked_median(x, m):
+        big = jnp.where(m, x, jnp.inf)
+        srt = jnp.sort(big)
+        cnt = jnp.sum(m)
+        mid = jnp.clip((cnt - 1) // 2, 0, x.shape[0] - 1)
+        return srt[mid]
+
+    med = jnp.stack([masked_median(pts[:, i], valid) for i in range(3)])
+    mad = jnp.stack(
+        [masked_median(jnp.abs(pts[:, i] - med[i]), valid) for i in range(3)]
+    )
+    band = jnp.maximum(3.0 * mad, 0.05)
+    return valid & jnp.all(jnp.abs(pts - med) < band, axis=-1)
+
+
 @partial(jax.jit, static_argnames=("num_samples", "num_yaw"))
 def fit_ellipsoid_depth(
     depth: jax.Array,  # (H, W)
@@ -59,13 +105,9 @@ def fit_ellipsoid_depth(
     min_points: int = 50,
 ) -> EllipsoidFitResult:
     """Single-detection ellipsoid fit from a DENSE depth image."""
-    H, W = depth.shape
-    uv = _sample_bbox_pixels(bbox, num_samples, key)
-    ui = jnp.clip(jnp.round(uv[:, 0]).astype(jnp.int32), 0, W - 1)
-    vi = jnp.clip(jnp.round(uv[:, 1]).astype(jnp.int32), 0, H - 1)
-    z = depth[vi, ui]
-    pts = backproject(jnp.stack([ui, vi], -1).astype(depth.dtype), z, intr)
-    valid = (z > depth_min) & (z < depth_max)
+    pts, valid = sample_bbox_depth_points(
+        depth, bbox, intr, key, num_samples, depth_min, depth_max
+    )
     return fit_ellipsoid_points(
         pts, valid, bbox, ground_plane_cam, intr,
         num_yaw=num_yaw, ground_margin=ground_margin, min_points=min_points,
@@ -89,25 +131,10 @@ def fit_ellipsoid_points(
     KITTI LiDAR per-object crops (`reconstruct/kitti_sequence.py:114-159`)
     provide points directly instead of sampling a dense depth image.
     """
-    # Drop ground-plane points (the reference's plane filter).
+    # Plane filter + central-cluster isolation (median +- 3 MAD per axis,
+    # the PCL voxel/statistical/Euclidean-cluster stand-in).
     gdist = pts @ ground_plane_cam[:3] + ground_plane_cam[3]
-    valid &= gdist > ground_margin
-
-    # Central-cluster isolation: median depth mode +- 3 MAD per axis
-    # (replaces Euclidean clustering for the dominant object blob).
-    def masked_median(x, m):
-        big = jnp.where(m, x, jnp.inf)
-        srt = jnp.sort(big)
-        cnt = jnp.sum(m)
-        mid = jnp.clip((cnt - 1) // 2, 0, x.shape[0] - 1)
-        return srt[mid]
-
-    med = jnp.stack([masked_median(pts[:, i], valid) for i in range(3)])
-    mad = jnp.stack(
-        [masked_median(jnp.abs(pts[:, i] - med[i]), valid) for i in range(3)]
-    )
-    band = jnp.maximum(3.0 * mad, 0.05)
-    core = valid & jnp.all(jnp.abs(pts - med) < band, axis=-1)
+    core = core_mask(pts, valid, ground_plane_cam, ground_margin)
     n_core = jnp.sum(core)
 
     # Gravity-aligned frame: the estimator orients the ground normal toward

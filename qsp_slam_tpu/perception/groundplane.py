@@ -42,7 +42,7 @@ def depth_to_cloud(
     return pts, z > 0.0
 
 
-@partial(jax.jit, static_argnames=("num_hyp",))
+@partial(jax.jit, static_argnames=("num_hyp", "below_frac"))
 def ransac_plane(
     pts: jax.Array,
     valid: jax.Array,
@@ -51,6 +51,7 @@ def ransac_plane(
     inlier_th: float = 0.02,
     normal_hint: jax.Array | None = None,
     hint_cos_min: float = 0.0,
+    below_frac: float = 0.0,
 ) -> tuple[jax.Array, jax.Array]:
     """Fit the dominant plane: returns (plane (4,), num_inliers).
 
@@ -62,18 +63,70 @@ def ransac_plane(
     `ProcessGroundPlaneEstimation`).
     """
     M = pts.shape[0]
-    idx = jax.random.randint(key, (num_hyp, 3), 0, M)
+    # Sample hypotheses from the VALID subset (compact-then-draw): masked
+    # rounds (Manhattan extraction) or sparse clouds would otherwise starve
+    # the hypothesis pool — with 10% valid, a uniform triple is all-valid
+    # only 0.1% of the time.
+    V = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
+    if below_frac > 0.0 and normal_hint is not None:
+        # Ground search: the floor is the LOWEST structure, so draw
+        # hypotheses from the low tail of heights along the up hint (lowest
+        # 25% of valid points).  In sparse maps the floor can be a few
+        # percent of the cloud (features cluster on objects/walls) — uniform
+        # triples then almost never land on it, while the low tail is floor
+        # + object bottoms RESTING on the floor.
+        hint_u = normal_hint / jnp.linalg.norm(normal_hint)
+        h = pts @ hint_u
+        pool = jnp.argsort(jnp.where(valid, h, jnp.inf))
+        Vp = jnp.maximum((V + 3) // 4, jnp.minimum(V, 3))
+    else:
+        pool = jnp.argsort(~valid)  # valid indices first
+        Vp = V
+    u = jax.random.uniform(key, (num_hyp, 3))
+    idx = pool[jnp.clip((u * Vp).astype(jnp.int32), 0, M - 1)]
     tri = pts[idx]  # (H, 3, 3)
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = n / jnp.where(nn < 1e-9, 1.0, nn)
     d = -jnp.sum(n * tri[:, 0], axis=-1)  # (H,)
     degenerate = (nn[:, 0] < 1e-9) | ~(valid[idx].all(axis=-1))
-    dist = jnp.abs(jnp.einsum("hi,mi->hm", n, pts) + d[:, None])  # (H, M)
+    if normal_hint is not None:
+        # Hint-normal single-point hypotheses: with a SPARSE cloud whose
+        # ground fraction is small (mono/stereo keypoint maps), the chance
+        # that a random TRIPLE lands on the ground vanishes — but any single
+        # ground point + the up hint is already a near-perfect candidate
+        # (the SVD refinement recovers the exact normal from the inliers).
+        hint_n = normal_hint / jnp.linalg.norm(normal_hint)
+        u1 = jax.random.uniform(jax.random.fold_in(key, 1), (num_hyp,))
+        idx1 = pool[jnp.clip((u1 * Vp).astype(jnp.int32), 0, M - 1)]
+        p1 = pts[idx1]
+        n = jnp.concatenate([n, jnp.tile(hint_n[None], (num_hyp, 1))])
+        d = jnp.concatenate([d, -p1 @ hint_n])
+        degenerate = jnp.concatenate([degenerate, ~valid[idx1]])
+    if normal_hint is not None:
+        # Orient every hypothesis toward the up hint so "below" is signed.
+        hint = normal_hint / jnp.linalg.norm(normal_hint)
+        sflip = jnp.sign(jnp.where(n @ hint == 0.0, 1.0, n @ hint))
+        n = n * sflip[:, None]
+        d = d * sflip
+    signed = jnp.einsum("hi,mi->hm", n, pts) + d[:, None]  # (H, M)
+    dist = jnp.abs(signed)
     score = jnp.sum((dist < inlier_th) & valid[None, :], axis=-1)
+    if below_frac > 0.0 and normal_hint is not None:
+        # The GROUND is the lowest dominant plane: a hypothesis with many
+        # points clearly below it (a horizontal ring of wall points at
+        # camera height, the ceiling, a table) is NOT the ground.  A hard
+        # feasibility gate with an outlier allowance (`below_frac` of the
+        # cloud, min 3) — a soft penalty would also kill the TRUE floor,
+        # whose sparse support can be smaller than the penalty from a few
+        # triangulation outliers beneath it.
+        below = jnp.sum(
+            (signed < -3.0 * inlier_th) & valid[None, :], axis=-1
+        )
+        max_below = jnp.maximum(3, (below_frac * V).astype(jnp.int32))
+        score = jnp.where(below <= max_below, score, -1)
     score = jnp.where(degenerate, -1, score)
     if normal_hint is not None:
-        hint = normal_hint / jnp.linalg.norm(normal_hint)
         align = jnp.abs(jnp.einsum("hi,i->h", n, hint))
         score = jnp.where(align >= hint_cos_min, score, -1)
     best = jnp.argmax(score)
@@ -92,21 +145,52 @@ def ransac_plane(
     d_r = -jnp.dot(n_r, mu)
     refined = jnp.concatenate([n_r, d_r[None]])
     inl = jnp.sum((jnp.abs(pts @ n_r + d_r) < inlier_th) & valid)
+    if below_frac > 0.0 and normal_hint is not None:
+        # Refinement can drift the plane off the ground and up into a denser
+        # band (its inlier set is a slab, not the true surface); keep the
+        # raw winning hypothesis when the refined plane breaks feasibility.
+        below_r = jnp.sum(((pts @ n_r + d_r) < -3.0 * inlier_th) & valid)
+        keep_raw = below_r > jnp.maximum(3, (below_frac * V).astype(jnp.int32))
+        raw = jnp.concatenate([n_b, d_b[None]])
+        inl_raw = jnp.sum((jnp.abs(pts @ n_b + d_b) < inlier_th) & valid)
+        refined = jnp.where(keep_raw, raw, refined)
+        inl = jnp.where(keep_raw, inl_raw, inl)
     inl = jnp.where(best_ok, inl, 0)  # no hypothesis passed the gates
     return plane_mod.normalize(refined), inl
+
+
+@jax.jit
+def adaptive_inlier_th(pts: jax.Array, valid: jax.Array, rel: float = 0.025):
+    """Scale-adaptive RANSAC threshold for gauge-free (mono) clouds: a
+    fraction of the median point distance.  One fused dispatch."""
+    r = jnp.linalg.norm(pts, axis=-1)
+    srt = jnp.sort(jnp.where(valid, r, jnp.inf))
+    mid = jnp.clip((jnp.sum(valid) - 1) // 2, 0, r.shape[0] - 1)
+    return rel * jnp.maximum(srt[mid], 1e-3)
 
 
 def estimate_ground_plane_points(
     pts: jax.Array,
     valid: jax.Array,
     key: jax.Array,
-    min_inlier_frac: float = 0.15,
+    min_inlier_frac: float = 0.10,
     camera_up_hint: tuple = (0.0, -1.0, 0.0),
+    inlier_th: jax.Array | None = None,
 ) -> GroundPlaneResult:
     """Ground plane from an explicit camera-frame point set (the seam used
-    by sparse modes: stereo keypoint clouds, LiDAR)."""
+    by sparse modes: stereo keypoint clouds, LiDAR, mono map points).
+
+    `inlier_th` defaults to a noise-adaptive value (2.5% of the median
+    point distance): stereo keypoint depth noise grows with range and mono
+    clouds have an arbitrary gauge, so no fixed metric threshold fits both.
+    """
     hint = jnp.asarray(camera_up_hint, dtype=pts.dtype)
-    pi, inl = ransac_plane(pts, valid, key, normal_hint=hint, hint_cos_min=0.7)
+    if inlier_th is None:
+        inlier_th = adaptive_inlier_th(pts, valid)
+    pi, inl = ransac_plane(
+        pts, valid, key, inlier_th=inlier_th,
+        normal_hint=hint, hint_cos_min=0.7, below_frac=0.05,
+    )
     flip = jnp.sign(jnp.sum(pi[:3] * hint) + 1e-12)
     pi = pi * flip
     ok = inl > min_inlier_frac * jnp.maximum(jnp.sum(valid), 1)

@@ -71,3 +71,79 @@ def extract_relations(
     )
     dist = jnp.where(support, bot_dist, jnp.abs(c_dist - radius))
     return Relations(kind=kind, distance=dist)
+
+
+@jax.jit
+def support_planes_for_objects(
+    rel: Relations,
+    planes_w: jax.Array,  # (P, 4) world frame
+    plane_valid: jax.Array,  # (P,)
+    ground_w: jax.Array,  # (4,) fallback
+) -> jax.Array:
+    """Per-object supporting plane from the relation grid (O, 4).
+
+    Objects with a SUPPORT relation take their closest supporting plane
+    (normal oriented up); others keep the ground plane — this feeds the
+    support prior of `refine_objects` (the `RefineObjectsWithRelations`
+    role, `src/Tracking_util.cc:1116`)."""
+    up = ground_w[:3] / jnp.linalg.norm(ground_w[:3])
+    nrm = jnp.maximum(jnp.linalg.norm(planes_w[:, :3], axis=-1, keepdims=True), 1e-9)
+    n = planes_w[:, :3] / nrm
+    d = planes_w[:, 3] / nrm[:, 0]
+    s = jnp.sign(jnp.where(n @ up == 0.0, 1.0, n @ up))
+    planes_up = jnp.concatenate([n * s[:, None], (d * s)[:, None]], axis=-1)
+
+    dist = jnp.where(
+        (rel.kind == SUPPORT) & plane_valid[None, :], rel.distance, jnp.inf
+    )  # (O, P)
+    best = jnp.argmin(dist, axis=1)
+    has = jnp.isfinite(jnp.min(dist, axis=1))
+    return jnp.where(has[:, None], planes_up[best], ground_w[None])
+
+
+@jax.jit
+def select_support_plane(
+    pts: jax.Array,  # (N, 3) candidate object points (camera frame)
+    ok: jax.Array,  # (N,)
+    planes_cam: jax.Array,  # (P, 4) Manhattan set, camera frame
+    plane_valid: jax.Array,  # (P,)
+    ground_cam: jax.Array,  # (4,) fallback ground plane
+    horiz_tol: float = 0.15,
+    below_tol: float = 0.08,
+) -> jax.Array:
+    """Pick the horizontal plane that actually supports a point set.
+
+    Parity: `RefineObjectsWithRelations` (`src/Tracking_util.cc:1116`) —
+    an object standing on a TABLE must be completed down to the table top,
+    not the floor; the reference re-extracts with the relation's supporting
+    plane.  Selection rule: among horizontal planes lying (just) below the
+    points, take the closest one; fall back to the ground plane.
+    Returns a (4,) plane whose normal points up (away from the plane
+    toward the object).
+    """
+    up = ground_cam[:3] / jnp.linalg.norm(ground_cam[:3])
+    nrm = jnp.maximum(jnp.linalg.norm(planes_cam[:, :3], axis=-1, keepdims=True), 1e-9)
+    n = planes_cam[:, :3] / nrm
+    d = planes_cam[:, 3] / nrm[:, 0]
+    # Orient every normal upward so "above the plane" is positive.
+    s = jnp.sign(jnp.where(n @ up == 0.0, 1.0, n @ up))
+    n = n * s[:, None]
+    d = d * s
+    horizontal = (n @ up) > 1.0 - horiz_tol
+
+    # 5th-percentile height of the object points above each plane.
+    h = pts @ n.T + d[None, :]  # (N, P)
+    big = jnp.sort(jnp.where(ok[:, None], h, jnp.inf), axis=0)
+    cnt = jnp.maximum(jnp.sum(ok), 1)
+    low = big[jnp.clip((cnt * 5) // 100, 0, pts.shape[0] - 1)]  # (P,)
+
+    cand = plane_valid & horizontal & (low > -below_tol)
+    score = jnp.where(cand, low, jnp.inf)
+    best = jnp.argmin(score)
+    use = cand[best] & jnp.isfinite(score[best])
+    pick = jnp.concatenate([n[best], d[best][None]])
+    g = jnp.concatenate(
+        [ground_cam[:3] / jnp.linalg.norm(ground_cam[:3]),
+         (ground_cam[3] / jnp.linalg.norm(ground_cam[:3]))[None]]
+    )
+    return jnp.where(use, pick, g)
