@@ -41,6 +41,27 @@ def bbox_residual(e: jax.Array, Tcw: jax.Array, K: jax.Array, bbox: jax.Array):
     return quadric.project_bbox(e, Tcw, K) - bbox
 
 
+def border_edge_mask(bbox: jax.Array, img_wh: tuple, margin: float = 2.0):
+    """(..., 4) bool — True where a detected bbox edge hugs the image border.
+
+    A border-clamped edge is a truncation artifact, not an object boundary;
+    using it in the bbox residual drags the ellipsoid toward the clipped
+    side (the reference skips border detections via its `CalibBoundary`/
+    border checks in `Tracking_util.cc`).  Shape matches bbox[..., 4] with
+    edge order (xmin, ymin, xmax, ymax).
+    """
+    W, H = img_wh
+    return jnp.stack(
+        [
+            bbox[..., 0] <= margin,
+            bbox[..., 1] <= margin,
+            bbox[..., 2] >= W - 1 - margin,
+            bbox[..., 3] >= H - 1 - margin,
+        ],
+        axis=-1,
+    )
+
+
 def gravity_residual(e: jax.Array, ground_normal_w: jax.Array) -> jax.Array:
     """2-vector residual: object z-axis alignment with the world up vector."""
     R = quadric.euler_to_rotmat(e[3:6])
@@ -70,7 +91,7 @@ def support_residual(e: jax.Array, ground_plane_w: jax.Array) -> jax.Array:
     return jnp.atleast_1d((jnp.dot(bottom, n) + ground_plane_w[3]) / nn)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "img_wh"))
 def refine_object(
     e_init: jax.Array,  # (9,)
     obs: ObjectObservations,
@@ -81,16 +102,20 @@ def refine_object(
     w_gravity: float = 100.0,
     w_support: float = 100.0,
     bbox_sigma: float = 10.0,
+    img_wh: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """LM refinement of one ellipsoid against its bbox observation history
     plus gravity + support priors.  Returns (e_refined, final_cost).
 
     vmap over the leading axis of (e_init, obs) to refine the whole object
-    table at once.
+    table at once.  `img_wh` masks border-clamped bbox edges out of the
+    residual (see `border_edge_mask`).
     """
 
     def residual_vec(e):
         rb = jax.vmap(lambda T, b: bbox_residual(e, T, K, b))(obs.Tcw, obs.bbox)
+        if img_wh is not None:
+            rb = jnp.where(border_edge_mask(obs.bbox, img_wh), 0.0, rb)
         w = jnp.sqrt(jnp.maximum(obs.weight, 0.0))[:, None] * (w_bbox / bbox_sigma)
         rb = (rb * w).reshape(-1)
         rg = gravity_residual(e, -ground_plane_w[:3]) * w_gravity

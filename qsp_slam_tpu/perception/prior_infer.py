@@ -21,6 +21,7 @@ from ..core.camera import Intrinsics, pixel_rays
 from ..opt.quadric_factors import (
     ObjectObservations,
     bbox_residual,
+    border_edge_mask,
     gravity_residual,
     support_residual,
 )
@@ -92,7 +93,7 @@ def generate_init_guess(
     return jnp.concatenate([center, rpy, jnp.stack([half_a, half_b, half_c])])
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "img_wh"))
 def refine_with_priors(
     e_init: jax.Array,  # (9,) world frame
     obs: ObjectObservations,
@@ -102,19 +103,25 @@ def refine_with_priors(
     aspect_e: jax.Array,
     iters: int = 12,
     w_bbox: float = 1.0,
-    w_gravity: float = 100.0,
-    w_support: float = 100.0,
+    w_gravity: float = 20.0,
+    w_support: float = 20.0,
     w_aspect: float = 10.0,
     bbox_sigma: float = 10.0,
+    img_wh: tuple | None = None,
 ) -> tuple[jax.Array, jax.Array]:
     """Multi-view bbox refinement with gravity + support + aspect priors.
 
     The aspect residual is the reference's 2-dof `EdgePri`
-    (`PriorInfer.h:61-75`): log-ratio errors on (a/c, b/c).
+    (`PriorInfer.h:61-75`): log-ratio errors on (a/c, b/c).  The plane
+    priors are deliberately SOFTER than the RGB-D path's: the mono ground
+    comes from a sparse gauge-free map and is the least reliable signal, so
+    multi-view bbox parallax must be able to override it.
     """
 
     def residual_vec(e):
         rb = jax.vmap(lambda T, b: bbox_residual(e, T, K, b))(obs.Tcw, obs.bbox)
+        if img_wh is not None:
+            rb = jnp.where(border_edge_mask(obs.bbox, img_wh), 0.0, rb)
         w = jnp.sqrt(jnp.maximum(obs.weight, 0.0))[:, None] * (w_bbox / bbox_sigma)
         rb = (rb * w).reshape(-1)
         rg = gravity_residual(e, -ground_plane_w[:3]) * w_gravity

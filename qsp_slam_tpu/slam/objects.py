@@ -207,8 +207,12 @@ def integrate_keyframe(
             )
 
         def do_new(tb):
-            can_new = det_valid[i] & det_fit_ok[i] & (tb.num_objects < Omax)
-            nid = jnp.clip(tb.num_objects, 0, Omax - 1)
+            # Slot reuse: allocate the first FREE slot (culled/merged
+            # objects return their capacity), not a monotone counter — a
+            # long sequence would otherwise exhaust the table permanently.
+            free = ~tb.valid
+            can_new = det_valid[i] & det_fit_ok[i] & jnp.any(free)
+            nid = jnp.argmax(free).astype(jnp.int32)
             e_w = quadric.transform_ellipsoid(det_ellipsoid_cam[i], T_wc)
 
             def create(tb):
@@ -218,6 +222,7 @@ def integrate_keyframe(
                 T_oc0 = lie.inv_se3(
                     lie.rt_to_se3(R_det, det_ellipsoid_cam[i, 0:3])
                 )
+                M = tb.pm_kf.shape[1]
                 tb = tb._replace(
                     ellipsoid=tb.ellipsoid.at[nid].set(e_w),
                     label=tb.label.at[nid].set(det_label[i]),
@@ -227,8 +232,20 @@ def integrate_keyframe(
                     last_seen_kf=tb.last_seen_kf.at[nid].set(kf_id),
                     move_votes=tb.move_votes.at[nid].set(0),
                     dynamic=tb.dynamic.at[nid].set(False),
-                    pm_Toc=tb.pm_Toc.at[nid, 0].set(T_oc0),
-                    pm_kf=tb.pm_kf.at[nid, 0].set(kf_id),
+                    # Scrub any previous tenant's history from the slot.
+                    obs_weight=tb.obs_weight.at[nid].set(0.0),
+                    obs_next=tb.obs_next.at[nid].set(0),
+                    obs_count=tb.obs_count.at[nid].set(0),
+                    shape_ok=tb.shape_ok.at[nid].set(False),
+                    code=tb.code.at[nid].set(0.0),
+                    pm_Toc=tb.pm_Toc.at[nid].set(
+                        jnp.tile(jnp.eye(4, dtype=tb.pm_Toc.dtype), (M, 1, 1))
+                        .at[0]
+                        .set(T_oc0)
+                    ),
+                    pm_kf=tb.pm_kf.at[nid].set(
+                        jnp.full((M,), -1, tb.pm_kf.dtype).at[0].set(kf_id)
+                    ),
                     pm_next=tb.pm_next.at[nid].set(1),
                 )
                 return _push_observation(tb, nid, Tcw, det_bbox[i], det_prob[i])
@@ -259,17 +276,28 @@ def cull_objects(
     return table._replace(valid=table.valid & ~drop)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "img_wh"))
 def refine_objects(
     table: ObjectTable,
     K: jax.Array,
     ground_plane_w: jax.Array,
     iters: int = 8,
+    support_planes_w: jax.Array | None = None,
+    img_wh: tuple | None = None,
 ) -> ObjectTable:
-    """vmapped multi-view LM refinement of every valid object."""
-    def one(e, Tcw, bbox, w, valid):
+    """vmapped multi-view LM refinement of every valid object.
+
+    `support_planes_w` (O, 4): per-object supporting plane for the support
+    prior (relation refinement — an object on a table snaps to the TABLE);
+    defaults to the shared ground plane.
+    """
+    if support_planes_w is None:
+        O = table.ellipsoid.shape[0]
+        support_planes_w = jnp.tile(ground_plane_w[None], (O, 1))
+
+    def one(e, Tcw, bbox, w, valid, plane):
         obs = ObjectObservations(Tcw=Tcw, bbox=bbox, weight=w)
-        e_new, _ = refine_object(e, obs, K, ground_plane_w, iters=iters)
+        e_new, _ = refine_object(e, obs, K, plane, iters=iters, img_wh=img_wh)
         enough = jnp.sum(w > 0) >= 2
         return jnp.where(valid & enough, e_new, e)
 
@@ -277,7 +305,45 @@ def refine_objects(
     # object's bbox history would smear it (`GetNewObservations` semantics).
     refinable = table.valid & ~table.dynamic
     e_ref = jax.vmap(one)(
-        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight, refinable
+        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight,
+        refinable, support_planes_w,
+    )
+    return table._replace(ellipsoid=e_ref)
+
+
+@partial(jax.jit, static_argnames=("iters", "img_wh"))
+def refine_objects_mono(
+    table: ObjectTable,
+    K: jax.Array,
+    ground_plane_w: jax.Array,
+    aspect_d: jax.Array,  # (L,) per-label half-axis ratio priors
+    aspect_e: jax.Array,  # (L,)
+    iters: int = 12,
+    img_wh: tuple | None = None,
+) -> ObjectTable:
+    """Monocular refinement: bbox history + gravity/support/ASPECT priors.
+
+    Without depth the viewing-direction extent is weakly observable, so the
+    per-label aspect priors carry it (the reference's `EdgePri` /
+    `PriFactor` path, `src/core/PriorInfer.cpp`).
+    """
+    from ..perception.prior_infer import refine_with_priors
+
+    L = aspect_d.shape[0]
+    lbl = jnp.clip(table.label, 0, L - 1)
+
+    def one(e, Tcw, bbox, w, valid, ad, ae):
+        obs = ObjectObservations(Tcw=Tcw, bbox=bbox, weight=w)
+        e_new, _ = refine_with_priors(
+            e, obs, K, ground_plane_w, ad, ae, iters=iters, img_wh=img_wh
+        )
+        enough = jnp.sum(w > 0) >= 2
+        return jnp.where(valid & enough, e_new, e)
+
+    refinable = table.valid & ~table.dynamic
+    e_ref = jax.vmap(one)(
+        table.ellipsoid, table.obs_Tcw, table.obs_bbox, table.obs_weight,
+        refinable, aspect_d[lbl], aspect_e[lbl],
     )
     return table._replace(ellipsoid=e_ref)
 
