@@ -56,6 +56,7 @@ def local_ba_step(
             ob_valid=m.ob_valid.at[:edge_budget].set(out.ob_valid),
         )
     Kmax = m.kf_Tcw.shape[0]
+    window = min(window, Kmax)  # tiny stores: window cannot exceed capacity
     newest = m.num_kfs - 1
 
     # Covisibility window selection (parity: the reference's local BA
