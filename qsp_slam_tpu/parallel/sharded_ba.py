@@ -20,7 +20,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..core import lie
 from ..core.camera import Intrinsics
@@ -62,16 +62,22 @@ def sharded_local_ba(
     iters: int = 10,
     use_huber: bool = True,
     axis: str = "edges",
+    pre_padded: bool = False,
 ):
     """LM bundle adjustment with edges sharded over `mesh[axis]`.
 
     Returns (Tcw, points, cost).  All state arrays are replicated; only the
     edge table is sharded.  One psum of the normal blocks per iteration.
+
+    `pre_padded=True` skips host-side padding — required when the caller
+    already built GLOBAL arrays for a multi-process mesh
+    (`parallel/multihost.global_ba_inputs`), where per-process jnp.pad of a
+    cross-host array is ill-defined.
     """
     K = Tcw.shape[0]
     N = points.shape[0]
-    edges = pad_edges_for_mesh(edges, mesh.shape[axis])
-    delta2 = jnp.where(edges.is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+    if not pre_padded:
+        edges = pad_edges_for_mesh(edges, mesh.shape[axis])
 
     rep = P()
     shd = P(axis)
@@ -80,11 +86,14 @@ def sharded_local_ba(
     @partial(
         shard_map,
         mesh=mesh,
-        in_specs=(rep, rep, rep, edge_specs, shd),
+        in_specs=(rep, rep, rep, edge_specs),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
-    def run(Tcw0, points0, cam_fixed0, e, d2):
+    def run(Tcw0, points0, cam_fixed0, e):
+        # Computed inside the shard (not eagerly on the host): the edge table
+        # may be a cross-process global array that no one process fully holds.
+        d2 = jnp.where(e.is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
         def cost_at(T, p):
             r, _, _, row_mask, _ = residuals_and_jacobians(T, p, e, intr, baseline_fx)
             chi2 = jnp.sum(r * r * row_mask, axis=-1) * e.inv_sigma2
@@ -121,7 +130,7 @@ def sharded_local_ba(
         (T, p, _, cost), _ = jax.lax.scan(body, init, None, length=iters)
         return T, p, cost
 
-    return run(Tcw, points, cam_fixed, edges, delta2)
+    return run(Tcw, points, cam_fixed, edges)
 
 
 def make_edge_mesh(num_devices: int | None = None, axis: str = "edges") -> Mesh:
