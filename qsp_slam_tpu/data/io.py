@@ -128,16 +128,29 @@ def export_map_txt(path_dir: str, map_state, objects=None) -> None:
 
 
 def save_detection_cache(path: str, detections: dict) -> None:
-    """Cache per-frame detections (the reference's .lbl seam) as npz."""
-    np.savez_compressed(
-        path,
-        bbox=np.asarray(detections["bbox"]),
-        label=np.asarray(detections["label"]),
-        prob=np.asarray(detections["prob"]),
-        valid=np.asarray(detections["valid"]),
-    )
+    """Cache per-frame detections (the reference's .lbl seam) as npz.
+
+    Instance masks (when present) are bit-packed along the width axis — a
+    (D, H, W) bool field costs D*H*W/8 bytes before the npz deflate pass.
+    """
+    arrs = {
+        "bbox": np.asarray(detections["bbox"]),
+        "label": np.asarray(detections["label"]),
+        "prob": np.asarray(detections["prob"]),
+        "valid": np.asarray(detections["valid"]),
+    }
+    if "mask" in detections:
+        m = np.asarray(detections["mask"]).astype(bool)
+        arrs["mask"] = np.packbits(m, axis=-1)
+        arrs["mask_width"] = np.asarray(m.shape[-1])
+    np.savez_compressed(path, **arrs)
 
 
 def load_detection_cache(path: str) -> dict:
     with np.load(path) as z:
-        return {k: z[k] for k in ("bbox", "label", "prob", "valid")}
+        out = {k: z[k] for k in ("bbox", "label", "prob", "valid")}
+        if "mask" in z.files:
+            W = int(z["mask_width"]) if "mask_width" in z.files else None
+            m = np.unpackbits(z["mask"], axis=-1)
+            out["mask"] = (m[..., :W] if W else m).astype(bool)
+    return out

@@ -78,7 +78,7 @@ def make_sequence(
     render = jax.jit(lambda T: render_scene(scene, T, cfg.intr))
     for i in range(num_frames):
         t = i / fps
-        gray, depth, _ = render(jnp.asarray(traj[i]))
+        gray, depth, inst = render(jnp.asarray(traj[i]))
         g8 = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
         d16 = np.clip(np.asarray(depth) * DEPTH_SCALE, 0, 65535).astype(np.uint16)
         rgb_rel = f"rgb/{t:.6f}.png"
@@ -95,11 +95,12 @@ def make_sequence(
             f"{q[0]:.6f} {q[1]:.6f} {q[2]:.6f} {q[3]:.6f}"
         )
         if with_detections:
-            det = gt_detections(scene, jnp.asarray(traj[i]), cfg.intr)
-            np.savez(
-                os.path.join(det_dir, f"{i}.npz"),
-                **{k: np.asarray(v) for k, v in det.items()},
+            from .io import save_detection_cache
+
+            det = gt_detections(
+                scene, jnp.asarray(traj[i]), cfg.intr, instance=inst
             )
+            save_detection_cache(os.path.join(det_dir, f"{i}.npz"), det)
 
     hdr = "# fabricated TUM-format sequence (qsp_slam_tpu synthetic renderer)\n"
     with open(os.path.join(out_dir, "rgb.txt"), "w") as f:

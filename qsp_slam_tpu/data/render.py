@@ -302,14 +302,17 @@ def render_scene(
 
 def gt_detections(
     scene: Scene, T_cw, intr: Intrinsics, width=640, height=480,
-    min_pixels: int = 400,
+    min_pixels: int = 400, instance=None,
 ):
     """Synthetic detector: GT-projected bboxes (+labels) for one frame.
 
     This is the framework's cached-detection replay seam (the reference's
     `detect_online: false` path, `reconstruct/mono_sequence.py:111-115`):
     deterministic detections decoupled from any learned detector.
-    Returns dict with bbox (O, 4), label (O,), prob (O,), valid (O,).
+    Returns dict with bbox (O, 4), label (O,), prob (O,), valid (O,);
+    when the per-pixel `instance` image from `render_scene` is given, also
+    "mask" (O, H, W) bool instance masks (the reference detector's mask
+    channel, `reconstruct/detector2d.py:106-118`).
     """
     from ..core import quadric as _q
 
@@ -327,12 +330,16 @@ def gt_detections(
     )
     area = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
     valid = vis & (area > min_pixels)
-    return {
+    out = {
         "bbox": b,
         "label": scene.labels,
         "prob": jnp.where(valid, 0.99, 0.0),
         "valid": valid,
     }
+    if instance is not None:
+        ids = jnp.arange(e.shape[0], dtype=jnp.int32)
+        out["mask"] = jnp.asarray(instance)[None] == ids[:, None, None]
+    return out
 
 
 def orbit_trajectory(

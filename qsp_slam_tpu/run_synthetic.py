@@ -63,7 +63,9 @@ def main(argv=None):
         sysm = SlamSystem(cfg, shape_prior=(params, dec_cfg))
         for i in range(num_frames):
             gray, depth, _inst = render_scene(scene, jnp.asarray(Tcw_gt[i]), cfg.intr)
-            det = gt_detections(scene, jnp.asarray(Tcw_gt[i]), cfg.intr)
+            det = gt_detections(
+                scene, jnp.asarray(Tcw_gt[i]), cfg.intr, instance=_inst
+            )
             sysm.track_rgbd(
                 np.asarray(gray), np.asarray(depth),
                 {k: np.asarray(v) for k, v in det.items()},

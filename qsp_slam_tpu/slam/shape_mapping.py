@@ -36,9 +36,10 @@ SCALE_MARGIN = 1.4  # ellipsoid max-half-axis -> unit-sphere scale margin
 class ShapeInputs(NamedTuple):
     T_oc_init: jax.Array  # (O, 4, 4)
     pts_cam: jax.Array  # (O, P, 3)
-    pts_ok: jax.Array  # (O, P)
+    pts_ok: jax.Array  # (O, P) surface (foreground) points for the SDF term
     rays: jax.Array  # (O, P, 3)
     depth_obs: jax.Array  # (O, P)
+    rays_ok: jax.Array  # (O, P) fg+bg rays for the render (free-space) term
     due: jax.Array  # (O,)
 
 
@@ -50,13 +51,31 @@ def gather_shape_inputs(
     ground_cam: jax.Array,  # (4,)
     intr: Intrinsics,
     key: jax.Array,
+    det_masks: jax.Array | None = None,  # (D, H, W) bool instance masks
+    det_assoc: jax.Array | None = None,  # (D,) object slot per detection, -1
     num_samples: int = 256,
     recon_every: int = 2,
     min_obs: int = 2,
 ) -> ShapeInputs:
-    """Sample per-object surface points/rays from the current keyframe."""
+    """Sample per-object surface points/rays from the current keyframe.
+
+    With instance masks (`det_masks` + the detection->object association),
+    bbox samples are separated the way the reference separates them
+    (`reconstruct/mono_sequence.py:141-154`): only pixels on THIS object's
+    mask become SDF surface points, while every bbox pixel with valid depth
+    stays a render-term ray — background rays carve free space instead of
+    polluting the surface term.  Without masks both sets fall back to the
+    geometric gate alone.
+    """
     H, W = depth.shape
     O = table.ellipsoid.shape[0]
+    owner = None
+    if det_masks is not None and det_assoc is not None:
+        # Per-pixel owning object slot (-1 = background / unassociated).
+        owner = jnp.full((H, W), -1, jnp.int32)
+        for d in range(det_masks.shape[0]):  # D is static, small
+            claim = det_masks[d] & (det_assoc[d] >= 0)
+            owner = jnp.where(claim, det_assoc[d], owner)
     e_cam = quadric.transform_ellipsoid(table.ellipsoid, Tcw[None])
     bbox = quadric.project_bbox(e_cam, jnp.eye(4, dtype=Tcw.dtype), intr.K)
     front = quadric.check_observability(table.ellipsoid, Tcw[None])
@@ -83,15 +102,24 @@ def gather_shape_inputs(
         # keep points near the predicted ellipsoid (within 1.5x its radius)
         c_cam = e_cam[o, 0:3]
         rad = jnp.max(e_cam[o, 6:9]) * 1.5
-        ok = (
+        geom_ok = (
             (z > 0.1)
             & (gdist > 0.03)
             & (jnp.linalg.norm(pts - c_cam, axis=-1) < rad)
         )
+        if owner is not None:
+            fg = owner[vi, ui] == o
+            ok = geom_ok & fg
+            # fg + bg rays: any bbox pixel with a real depth reading teaches
+            # the render term (bg observations carve free space).
+            ray_ok = z > 0.1
+        else:
+            ok = geom_ok
+            ray_ok = geom_ok
         rays = pixel_rays(uv, intr)
-        return pts, ok, rays, z
+        return pts, ok, rays, z, ray_ok
 
-    pts, ok, rays, z = jax.vmap(per_object)(jnp.arange(O))
+    pts, ok, rays, z, ray_ok = jax.vmap(per_object)(jnp.arange(O))
 
     # Initial normalized-frame pose from the ellipsoid: unit sphere -> world
     # is sim(R_e, s = SCALE_MARGIN * max_half) at the ellipsoid center.
@@ -104,7 +132,7 @@ def gather_shape_inputs(
     T_oc = jnp.einsum("oij,jk->oik", T_ow_sim, lie.inv_se3(Tcw))
     return ShapeInputs(
         T_oc_init=T_oc, pts_cam=pts, pts_ok=ok & due[:, None],
-        rays=rays, depth_obs=z, due=due,
+        rays=rays, depth_obs=z, rays_ok=ray_ok & due[:, None], due=due,
     )
 
 
@@ -143,13 +171,13 @@ def reconstruct_due_objects(
     res_f = jax.lax.map(
         lambda args: reconstruct_object(
             params, dec_cfg, args[0], args[1], args[2], args[3], args[4],
-            args[5], args[3], opt_cfg,
+            args[5], args[6], opt_cfg,
         ),
         (
             T_hyp.reshape(O * F, 4, 4),
             flat(table.code, F), flat(inputs.pts_cam, F),
             flat(inputs.pts_ok, F), flat(inputs.rays, F),
-            flat(inputs.depth_obs, F),
+            flat(inputs.depth_obs, F), flat(inputs.rays_ok, F),
         ),
         batch_size=O,
     )

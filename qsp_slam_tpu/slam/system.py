@@ -469,9 +469,19 @@ class SlamSystem:
             opt_cfg = (
                 self.shape_prior[2] if len(self.shape_prior) > 2 else ShapeOptConfig()
             )
+            # Instance masks (when the detection source provides them)
+            # separate fg surface points from bg free-space rays
+            # (`reconstruct/mono_sequence.py:141-154`).
+            mask_kw = {}
+            if detections is not None and "mask" in detections:
+                mask_kw = dict(
+                    det_masks=jnp.asarray(detections["mask"], bool),
+                    det_assoc=assoc.obj_for_det,
+                )
             inputs = gather_shape_inputs(
                 self.objects, Tcw, depth, pi_cam, cfg.intr,
                 jax.random.PRNGKey(5000 + kf_id),
+                **mask_kw,
             )
             self.objects = reconstruct_due_objects(
                 self.objects, inputs, params, dec_cfg, Tcw, opt_cfg
