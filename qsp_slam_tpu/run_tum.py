@@ -27,6 +27,11 @@ def main(argv=None):
         "--detections", default=None,
         help="directory of per-frame detection caches (<idx>.npz replay seam)",
     )
+    ap.add_argument(
+        "--save-frames", default=None, metavar="DIR",
+        help="save annotated frames (FrameDrawer artifact) to DIR",
+    )
+    ap.add_argument("--frame-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -55,7 +60,7 @@ def main(argv=None):
         cfg = TrackingConfig()
 
     seq = TumSequence(args.sequence)
-    sysm = SlamSystem(cfg)
+    sysm = SlamSystem(cfg, keep_frame_info=args.save_frames is not None)
     timestamps = []
     gt = []
     for idx in range(0, len(seq), args.skip):
@@ -68,6 +73,21 @@ def main(argv=None):
             if os.path.exists(p):
                 det = load_detection_cache(p)
         sysm.track_rgbd(gray, depth, det)
+        if args.save_frames and len(timestamps) % args.frame_every == 0:
+            from qsp_slam_tpu.viz.frame_draw import frame_status, save_annotated
+
+            info = sysm.last_frame_info or {}
+            save_annotated(
+                os.path.join(args.save_frames, f"{idx:06d}.png"),
+                gray,
+                kp_xy=info.get("kp_xy"),
+                kp_tracked=info.get("kp_tracked"),
+                bboxes=det.get("bbox") if det else None,
+                labels=det.get("label") if det else None,
+                probs=det.get("prob") if det else None,
+                bbox_valid=det.get("valid") if det else None,
+                status=frame_status(sysm, idx),
+            )
         timestamps.append(t)
         gt.append(T_cw_gt)
         if len(timestamps) % 50 == 0:
