@@ -52,6 +52,13 @@ class ObjectTable(NamedTuple):
     last_seen_kf: jax.Array  # (Omax,) int32
     move_votes: jax.Array  # (Omax,) int32 — large single-frame displacements
     dynamic: jax.Array  # (Omax,) bool
+    # Dynamic-object motion model (parity: MapObject velocity members +
+    # extrapolation, `src/LocalMapping_util.cc:151-192`): EMA world-frame
+    # center velocity / yaw rate per keyframe-index unit, and the keyframe
+    # the state has been advanced to.
+    vel_center: jax.Array  # (Omax, 3) f32
+    vel_yaw: jax.Array  # (Omax,) f32
+    adv_kf: jax.Array  # (Omax,) int32
     # camera-object relative-pose measurement ring (the reference's
     # `det->SE3Tco` per keyframe, consumed by joint BA)
     pm_Toc: jax.Array  # (Omax, M, 4, 4) measured cam->object SE3
@@ -79,6 +86,9 @@ def empty_objects(
         last_seen_kf=jnp.zeros(omax, jnp.int32),
         move_votes=jnp.zeros(omax, jnp.int32),
         dynamic=jnp.zeros(omax, bool),
+        vel_center=jnp.zeros((omax, 3), jnp.float32),
+        vel_yaw=jnp.zeros(omax, jnp.float32),
+        adv_kf=jnp.zeros(omax, jnp.int32),
         pm_Toc=jnp.tile(jnp.eye(4, dtype=jnp.float32), (omax, obs_per_object, 1, 1)),
         pm_kf=jnp.full((omax, obs_per_object), -1, jnp.int32),
         pm_next=jnp.zeros(omax, jnp.int32),
@@ -100,11 +110,18 @@ def associate_detections(
     det_valid: jax.Array,  # (D,)
     iou_threshold: float = 0.3,
 ) -> Associations:
-    """Project live objects, IoU-match against detections with label gate."""
+    """Project live objects, IoU-match against detections with label gate.
+
+    A det_label of -1 matches any class (used by the on-mesh detector mode,
+    where single-frame class estimates are noisier than replay labels and a
+    hard gate would fragment objects across label flips).
+    """
     proj = quadric.project_bbox(table.ellipsoid, Tcw[None], K)  # (O, 4)
     front = quadric.check_observability(table.ellipsoid, Tcw[None])
     iou = quadric.bbox_iou(proj[None, :, :], det_bbox[:, None, :])  # (D, O)
-    label_ok = det_label[:, None] == table.label[None, :]
+    label_ok = (det_label[:, None] == table.label[None, :]) | (
+        det_label[:, None] < 0
+    )
     gate = (
         label_ok
         & table.valid[None, :]
@@ -125,6 +142,37 @@ def associate_detections(
     )
     keep = (obj >= 0) & (best_iou >= best_for_obj[obj_safe])
     return Associations(obj_for_det=jnp.where(keep, obj, -1), iou=best_iou)
+
+
+@partial(jax.jit, static_argnames=())
+def advance_dynamic_objects(table: ObjectTable, kf_id: jax.Array) -> ObjectTable:
+    """Extrapolate unobserved DYNAMIC objects to `kf_id` with their velocity.
+
+    Parity: the reference predicts a moving object's pose forward so the
+    next association still finds it (`src/LocalMapping_util.cc:151-192`).
+    The shape anchor (world -> normalized frame) translates along.  Static
+    objects and freshly-observed objects are untouched; adv_kf records the
+    advance so repeated calls are idempotent.
+    """
+    anchor = jnp.maximum(table.adv_kf, table.last_seen_kf)
+    dk = jnp.maximum(kf_id - anchor, 0).astype(table.vel_center.dtype)
+    move = table.valid & table.dynamic & (dk > 0)
+    delta = table.vel_center * dk[:, None]
+    dyaw = table.vel_yaw * dk
+    e = table.ellipsoid
+    e = e.at[:, 0:3].set(
+        jnp.where(move[:, None], e[:, 0:3] + delta, e[:, 0:3])
+    )
+    yaw_adv = (e[:, 4] + dyaw + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+    e = e.at[:, 4].set(jnp.where(move, yaw_adv, e[:, 4]))
+    sR = table.Tow_shape[:, :3, :3]
+    t_new = table.Tow_shape[:, :3, 3] - jnp.einsum("oij,oj->oi", sR, delta)
+    t_shape = jnp.where(move[:, None], t_new, table.Tow_shape[:, :3, 3])
+    return table._replace(
+        ellipsoid=e,
+        Tow_shape=table.Tow_shape.at[:, :3, 3].set(t_shape),
+        adv_kf=jnp.where(table.valid & (dk > 0), kf_id, table.adv_kf),
+    )
 
 
 def _push_observation(table: ObjectTable, oid, Tcw, bbox, weight):
@@ -197,13 +245,47 @@ def integrate_keyframe(
                 > dynamic_dist
             )
             votes = tb.move_votes[oid] + moved.astype(jnp.int32)
+            is_dyn = votes >= 2
+            # Velocity model (`LocalMapping_util.cc:151-192`): EMA the
+            # per-keyframe-index motion measured landmark -> new fit; once
+            # dynamic, the landmark FOLLOWS the measurement (fusing a moving
+            # object's history would smear it) and the shape anchor
+            # translates with it.
+            dk = jnp.maximum(kf_id - tb.last_seen_kf[oid], 1).astype(
+                tb.vel_center.dtype
+            )
+            v_meas = (e_w_det[0:3] - tb.ellipsoid[oid, 0:3]) / dk
+            dyaw = e_w_det[4] - tb.ellipsoid[oid, 4]
+            dyaw = (dyaw + jnp.pi) % (2.0 * jnp.pi) - jnp.pi
+            upd = det_fit_ok[i]
+            vel_c = jnp.where(
+                upd, 0.6 * tb.vel_center[oid] + 0.4 * v_meas,
+                tb.vel_center[oid],
+            )
+            vel_y = jnp.where(
+                upd, 0.6 * tb.vel_yaw[oid] + 0.4 * dyaw / dk, tb.vel_yaw[oid]
+            )
+            snap = is_dyn & det_fit_ok[i]
+            e_new = jnp.where(snap, e_w_det, tb.ellipsoid[oid])
+            delta_c = e_new[0:3] - tb.ellipsoid[oid, 0:3]
+            sR = tb.Tow_shape[oid, :3, :3]
+            t_shape = jnp.where(
+                snap,
+                tb.Tow_shape[oid, :3, 3] - sR @ delta_c,
+                tb.Tow_shape[oid, :3, 3],
+            )
             return tb._replace(
                 prob=tb.prob.at[oid].set(
                     jnp.minimum(tb.prob[oid] + 0.1 * det_prob[i], 1.0)
                 ),
+                ellipsoid=tb.ellipsoid.at[oid].set(e_new),
+                Tow_shape=tb.Tow_shape.at[oid, :3, 3].set(t_shape),
+                vel_center=tb.vel_center.at[oid].set(vel_c),
+                vel_yaw=tb.vel_yaw.at[oid].set(vel_y),
+                adv_kf=tb.adv_kf.at[oid].set(kf_id),
                 last_seen_kf=tb.last_seen_kf.at[oid].set(kf_id),
                 move_votes=tb.move_votes.at[oid].set(votes),
-                dynamic=tb.dynamic.at[oid].set(votes >= 2),
+                dynamic=tb.dynamic.at[oid].set(is_dyn),
             )
 
         def do_new(tb):
@@ -232,6 +314,9 @@ def integrate_keyframe(
                     last_seen_kf=tb.last_seen_kf.at[nid].set(kf_id),
                     move_votes=tb.move_votes.at[nid].set(0),
                     dynamic=tb.dynamic.at[nid].set(False),
+                    vel_center=tb.vel_center.at[nid].set(0.0),
+                    vel_yaw=tb.vel_yaw.at[nid].set(0.0),
+                    adv_kf=tb.adv_kf.at[nid].set(kf_id),
                     # Scrub any previous tenant's history from the slot.
                     obs_weight=tb.obs_weight.at[nid].set(0.0),
                     obs_next=tb.obs_next.at[nid].set(0),

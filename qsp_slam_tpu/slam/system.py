@@ -75,6 +75,15 @@ class SlamSystem:
     # Per-label aspect-ratio priors for the monocular object path
     # (`PriFactor` tables, `src/core/PriorInfer.cpp`); None -> neutral 1:1.
     aspect_priors: Optional[object] = None
+    # On-mesh 2D detector: (params, DetectorConfig) enables the reference's
+    # `detect_online: true` mode (`reconstruct/detector2d.py:65-125`) — when
+    # track_rgbd gets detections=None, the learned detector supplies them
+    # at keyframe cadence.
+    detector: Optional[tuple] = None
+    # FrameDrawer seam: keep per-frame keypoints + tracked mask on the host
+    # (`src/FrameDrawer.cc:1` role; consumed by viz.frame_draw / CLIs'
+    # --save-frames).  Off by default: it adds one device->host transfer.
+    keep_frame_info: bool = False
     map_state: MapState = field(init=False)
     loop_state: LoopState = field(init=False)
     loops_closed: int = 0
@@ -103,7 +112,9 @@ class SlamSystem:
         self.velocity = np.eye(4, dtype=np.float32)
         self._pending_detections = None
         self._pending_depth = None
+        self._pending_gray = None
         self._sensor = "rgbd"
+        self.last_frame_info = None
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray, depth, detections=None) -> np.ndarray:
@@ -115,6 +126,9 @@ class SlamSystem:
         """
         self._pending_detections = detections
         self._pending_depth = depth
+        self._pending_gray = (
+            gray if (detections is None and self.detector is not None) else None
+        )
         self._ensure_capacity()
         cfg = self.cfg
         # Two dispatches (process, then track) measured FASTER end to end on
@@ -134,6 +148,13 @@ class SlamSystem:
         res: TrackResult = track_frame(self.map_state, Tcw_pred, frame, cfg)
         res = jax.block_until_ready(res)
         self.stats["track_ms"].append((time.perf_counter() - t0) * 1e3)
+        if self.keep_frame_info:
+            xy = np.asarray(frame.feats.xy)
+            tracked = np.zeros(len(xy), bool)
+            mi = np.asarray(res.match_inlier)
+            mp = np.asarray(res.match_pt)
+            tracked[mp[mi & (mp >= 0)]] = True
+            self.last_frame_info = {"kp_xy": xy, "kp_tracked": tracked}
 
         num_inliers = int(res.num_inliers)
         Tcw_new = np.asarray(res.Tcw)
@@ -243,7 +264,10 @@ class SlamSystem:
         self.inliers_at_last_kf = int(jnp.sum(frame.depth > 0))
         self.frames_since_kf = 0
         self.stats["keyframes"] += 1
-        if self.enable_objects and self._pending_detections is not None:
+        if self.enable_objects and (
+            self._pending_detections is not None
+            or self._pending_gray is not None
+        ):
             self._process_objects(self._pending_detections, self._pending_depth, frame)
         self._loop_closing(frame, 0)
 
@@ -273,7 +297,10 @@ class SlamSystem:
         self.frames_since_kf = 0
         self.inliers_at_last_kf = int(res.num_inliers)
         self.stats["keyframes"] += 1
-        if self.enable_objects and self._pending_detections is not None:
+        if self.enable_objects and (
+            self._pending_detections is not None
+            or self._pending_gray is not None
+        ):
             t0 = time.perf_counter()
             self._process_objects(self._pending_detections, self._pending_depth, frame)
             self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
@@ -359,6 +386,16 @@ class SlamSystem:
         Tcw = jnp.asarray(self.Tcw)
         depth = jnp.asarray(depth)
         kf_id = int(self.map_state.num_kfs) - 1
+        if detections is None and self.detector is not None:
+            # detect_online mode: the on-mesh detector supplies the frame's
+            # detections (`reconstruct/detector2d.py:65-125` role).
+            from ..perception.detector2d import detect_objects
+
+            dparams, dcfg = self.detector
+            detections = detect_objects(
+                dparams, dcfg, jnp.asarray(self._pending_gray)
+            )
+            self._pending_gray = None
         sparse = self._sensor == "stereo" and frame is not None
         if sparse:
             kp_pts = backproject(frame.feats.xy, frame.depth, cfg.intr)
@@ -424,6 +461,11 @@ class SlamSystem:
                 lambda b, k: fit_ellipsoid_depth(depth, b, pi_cam, cfg.intr, k)
             )(bbox, keys)
 
+        # Extrapolate dynamic objects to this keyframe before association
+        # (velocity model, `src/LocalMapping_util.cc:151-192`).
+        from .objects import advance_dynamic_objects
+
+        self.objects = advance_dynamic_objects(self.objects, jnp.int32(kf_id))
         assoc = associate_detections(
             self.objects, Tcw, cfg.intr.K, bbox, label, dvalid
         )
@@ -773,6 +815,9 @@ class SlamSystem:
         # meaningful footprint.
         fit_ok = dvalid & (e_cam[:, 2] > 0.3) & (e_cam[:, 2] < 30.0)
 
+        from .objects import advance_dynamic_objects
+
+        self.objects = advance_dynamic_objects(self.objects, jnp.int32(kf_id))
         assoc = associate_detections(
             self.objects, Tcw, cfg.intr.K, bbox, label, dvalid
         )
