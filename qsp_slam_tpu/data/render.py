@@ -133,8 +133,13 @@ def make_scene(
         # rotation about the world up axis (-y): roll/pitch zero in a frame
         # whose z is up; build via euler (rot about y)
         els.append([x, y, z, 0.0, yaw, 0.0, half[0], half[1], half[2]])
-        labels.append(i % 3)
-        albedo.append(rng.uniform(120.0, 240.0))
+        # Label must have a visual correlate (the reference's classes are
+        # semantic categories a detector can SEE); tie it to an albedo band
+        # so the on-mesh detector's class head is a learnable function of
+        # the image, not an arbitrary index.
+        label = i % 3
+        labels.append(label)
+        albedo.append(115.0 + 55.0 * label + rng.uniform(-18.0, 18.0))
     return Scene(
         room=room,
         ellipsoids=jnp.asarray(np.array(els, np.float32).reshape(-1, 9)),
@@ -254,16 +259,20 @@ def render_scene(
     )
     rays_w = jnp.einsum("ij,hwj->hwi", R_wc, rays_c)
 
-    def one_obj(e, alb):
+    def one_obj(e, alb, label):
         t, n = _ray_ellipsoid(e, c_w, rays_w)
         # Lambert shading + surface ripple so ORB finds texture on objects.
+        # Ripple frequency is CLASS-dependent (shading-invariant visual
+        # correlate of the semantic label, so the on-mesh detector's class
+        # head has something physical to learn).
         light = jnp.asarray([0.4, -0.8, 0.45])
         light = light / jnp.linalg.norm(light)
         lam = jnp.clip(jnp.einsum("hwi,i->hw", n, light), 0.15, 1.0)
         p_w = c_w + rays_w * t[..., None]
-        ripple = 0.5 + 0.5 * jnp.sin(23.0 * p_w[..., 0]) * jnp.sin(
-            19.0 * p_w[..., 1]
-        ) * jnp.sin(29.0 * p_w[..., 2])
+        f = 18.0 + 13.0 * label.astype(jnp.float32)
+        ripple = 0.5 + 0.5 * jnp.sin(f * p_w[..., 0]) * jnp.sin(
+            0.83 * f * p_w[..., 1]
+        ) * jnp.sin(1.26 * f * p_w[..., 2])
         g = alb * lam * (0.75 + 0.45 * ripple)
         return t, g
 
@@ -290,7 +299,9 @@ def render_scene(
         )
         depth_bg = jnp.where(slab_hit, t_slab, depth_bg)
 
-    ts, gs = jax.vmap(one_obj)(scene.ellipsoids, scene.albedo)  # (O, H, W)
+    ts, gs = jax.vmap(one_obj)(
+        scene.ellipsoids, scene.albedo, scene.labels
+    )  # (O, H, W)
     t_best = jnp.min(ts, axis=0)
     o_best = jnp.argmin(ts, axis=0).astype(jnp.int32)
     obj_hit = jnp.isfinite(t_best) & ((t_best < depth_bg) | (depth_bg <= 0.0))

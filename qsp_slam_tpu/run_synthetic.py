@@ -23,6 +23,10 @@ def main(argv=None):
     with_objects = "--objects" in argv
     if with_objects:
         argv.remove("--objects")
+    with_detector = "--detector" in argv
+    if with_detector:
+        argv.remove("--detector")
+        with_objects = True
     num_frames = int(argv[0]) if argv else 120
 
     import jax
@@ -60,9 +64,26 @@ def main(argv=None):
         Tcw_gt = np.asarray(
             jnp.einsum("fij,jk->fik", jnp.asarray(Tcw_gt), pitch), np.float32
         )
-        sysm = SlamSystem(cfg, shape_prior=(params, dec_cfg))
+        detector = None
+        if with_detector:
+            # detect_online mode: train the on-mesh detector on renderer GT
+            # and let it supply detections (no replay seam).
+            from qsp_slam_tpu.perception.detector2d import (
+                DetectorConfig,
+                train_detector,
+            )
+
+            dcfg = DetectorConfig()
+            dparams, _ = train_detector(
+                jax.random.PRNGKey(7), dcfg, steps=1500, lr=2e-3
+            )
+            detector = (dparams, dcfg)
+        sysm = SlamSystem(cfg, shape_prior=(params, dec_cfg), detector=detector)
         for i in range(num_frames):
             gray, depth, _inst = render_scene(scene, jnp.asarray(Tcw_gt[i]), cfg.intr)
+            if with_detector:
+                sysm.track_rgbd(np.asarray(gray), np.asarray(depth), None)
+                continue
             det = gt_detections(
                 scene, jnp.asarray(Tcw_gt[i]), cfg.intr, instance=_inst
             )

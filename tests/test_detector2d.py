@@ -1,0 +1,137 @@
+"""On-mesh 2D detector: training, decode contract, detect-online e2e.
+
+Parity: `reconstruct/detector2d.py:65-125` (Mask-R-CNN wrapper emitting
+boxes/labels/probs/masks) — replaced by a single-shot CenterNet-style head
+trained on the synthetic renderer's GT.  Half resolution keeps the training
+budget test-sized; the architecture is resolution-agnostic.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from qsp_slam_tpu.core import lie
+from qsp_slam_tpu.data.render import (
+    gt_detections,
+    make_scene,
+    orbit_trajectory,
+    render_scene,
+)
+from qsp_slam_tpu.perception.detector2d import (
+    DetectorConfig,
+    detect_objects,
+    train_detector,
+)
+from qsp_slam_tpu.slam.tracking import TrackingConfig
+
+HALF = TrackingConfig(
+    fx=260.45, fy=260.5, cx=162.55, cy=124.85, width=320, height=240
+)
+DCFG = DetectorConfig(input_hw=(240, 320))
+PITCH = lie.exp_se3(jnp.asarray([0, 0, 0, 0.44, 0, 0], jnp.float32))
+
+
+@pytest.fixture(scope="module")
+def trained():
+    params, losses = train_detector(
+        jax.random.PRNGKey(0), DCFG, steps=2600, scenes=4, lr=2e-3,
+        intr=HALF.intr,
+    )
+    assert losses[-1] < losses[0]
+    return params
+
+
+def _bbox_iou(a, b):
+    x0, y0 = max(a[0], b[0]), max(a[1], b[1])
+    x1, y1 = min(a[2], b[2]), min(a[3], b[3])
+    i = max(0, x1 - x0) * max(0, y1 - y0)
+    ua = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - i
+    return i / max(ua, 1e-6)
+
+
+@pytest.mark.slow
+class TestDetector:
+    def test_output_contract(self, trained):
+        scene = make_scene(num_objects=3, seed=2)
+        T = jnp.asarray(orbit_trajectory(10)[5]) @ PITCH
+        gray, _, _ = render_scene(scene, T, HALF.intr, height=240, width=320)
+        det = detect_objects(trained, DCFG, gray)
+        assert set(det) == {"bbox", "label", "prob", "valid", "mask"}
+        D = DCFG.max_det
+        assert det["bbox"].shape == (D, 4)
+        assert det["mask"].shape == (D, 240, 320) and det["mask"].dtype == bool
+        b = np.asarray(det["bbox"])
+        assert (b[:, 2] >= b[:, 0]).all() and (b[:, 3] >= b[:, 1]).all()
+        assert (b >= 0).all() and (b[:, ::2] <= 319).all() and (b[:, 1::2] <= 239).all()
+        # Masks live inside their boxes.
+        for d in range(D):
+            ys, xs = np.nonzero(np.asarray(det["mask"][d]))
+            if len(xs):
+                assert xs.min() >= b[d, 0] - 1 and xs.max() <= b[d, 2] + 1
+                assert ys.min() >= b[d, 1] - 1 and ys.max() <= b[d, 3] + 1
+
+    def test_recall_on_slam_views(self, trained):
+        hits = tot = fp = 0
+        for seed in (2, 999):
+            scene = make_scene(num_objects=3, seed=seed)
+            traj = orbit_trajectory(30)
+            for fi in (0, 10, 20, 29):
+                T = jnp.asarray(traj[fi]) @ PITCH
+                gray, _, _ = render_scene(
+                    scene, T, HALF.intr, height=240, width=320
+                )
+                gt = gt_detections(scene, T, HALF.intr, width=320, height=240)
+                det = detect_objects(trained, DCFG, gray)
+                pb = np.asarray(det["bbox"])
+                pv = np.asarray(det["valid"])
+                gtb = [
+                    g for g, gv in zip(np.asarray(gt["bbox"]),
+                                       np.asarray(gt["valid"])) if gv
+                ]
+                # fp is judged against ALL gt boxes (valid or not): hitting
+                # an object below the min-pixels validity cut is not false.
+                gtb_all = list(np.asarray(gt["bbox"]))
+                for g in gtb:
+                    tot += 1
+                    best = max(
+                        (_bbox_iou(g, p) for p, v in zip(pb, pv) if v),
+                        default=0,
+                    )
+                    if best > 0.4:
+                        hits += 1
+                for p, v in zip(pb, pv):
+                    if v and max(
+                        (_bbox_iou(g, p) for g in gtb_all), default=0
+                    ) < 0.2:
+                        fp += 1
+        assert tot >= 10
+        assert hits / tot >= 0.4, f"recall {hits}/{tot}"
+        assert fp <= 2, f"{fp} false positives"
+
+    def test_detect_online_e2e(self, trained):
+        """The VERDICT bar: detections=None, the detector supplies them.
+
+        The SLAM loop runs at full 480x640 (tracking's native resolution);
+        detect_objects mean-pools each frame down to the detector's 240x320
+        and scales boxes/masks back up.  A periodic keyframe cadence forces
+        several detection rounds within the short trajectory.
+        """
+        from qsp_slam_tpu.slam.system import SlamSystem
+
+        cfg = TrackingConfig(kf_min_interval=2, kf_max_interval=6)
+        scene = make_scene(num_objects=3, seed=2)
+        traj = orbit_trajectory(26, step=0.035)
+        sysm = SlamSystem(
+            cfg, kmax=16, nmax=4096, emax=32768,
+            detector=(trained, DCFG), enable_loop_closing=False,
+        )
+        for i in range(26):
+            T = jnp.asarray(traj[i]) @ PITCH
+            gray, depth, _ = render_scene(scene, T, cfg.intr)
+            sysm.track_rgbd(np.asarray(gray), np.asarray(depth), None)
+        valid = np.asarray(sysm.objects.valid)
+        obs = np.asarray(sysm.objects.obs_count)
+        assert (valid & (obs >= 2)).sum() >= 1, (
+            f"no detector-driven objects integrated (valid={valid.sum()})"
+        )
