@@ -117,10 +117,20 @@ def mutual_match(
     valid_b: jax.Array,
     max_dist: int = TH_LOW,
     ratio: float = 0.9,
+    pair_mask: jax.Array | None = None,
 ) -> MatchResult:
-    """Mutual-best matching (used by initialization / triangulation search)."""
+    """Mutual-best matching (used by initialization / triangulation search).
+
+    `pair_mask` (A, B) restricts the candidate set per pair — the TPU shape
+    of the reference's candidate-pruning strategies (epipolar gate in
+    `SearchForTriangulation`, shared-word buckets in `SearchByBoW`): instead
+    of iterating a reduced candidate list, the full distance matrix is
+    computed on the MXU and the gate is applied as a mask before argmin.
+    """
     dist = hamming_matrix(desc_a, desc_b)
     mask = valid_a[:, None] & valid_b[None, :]
+    if pair_mask is not None:
+        mask = mask & pair_mask
     fwd = masked_best_match(dist, mask, max_dist=max_dist, ratio=ratio)
     bwd = masked_best_match(dist.T, mask.T, max_dist=max_dist, ratio=ratio)
     a_idx = jnp.arange(desc_a.shape[0], dtype=jnp.int32)
@@ -128,6 +138,56 @@ def mutual_match(
     return MatchResult(
         idx=jnp.where(mutual, fwd.idx, -1), dist=fwd.dist, valid=mutual
     )
+
+
+def epipolar_mask(
+    uv_a: jax.Array,  # (A, 2) pixels in camera 1
+    uv_b: jax.Array,  # (B, 2) pixels in camera 2
+    T_21: jax.Array,  # (4, 4) cam1 -> cam2
+    intr,
+    octave_b: jax.Array | None = None,
+    scale_factor: float = 1.2,
+    chi2: float = 3.84,
+    sigma_px: float = 1.0,
+) -> jax.Array:
+    """(A, B) epipolar-consistency gate for triangulation matching.
+
+    Parity: `ORBmatcher::CheckDistEpipolarLine` inside
+    `SearchForTriangulation` (`src/ORBmatcher.cc:657,747`): a candidate in
+    image 2 must lie within chi2*sigma(octave) of the epipolar line of the
+    image-1 feature.  F21 = K^-T [t]x R K^-1.
+    """
+    R = T_21[:3, :3]
+    t = T_21[:3, 3]
+    tx = jnp.array(
+        [[0.0, -t[2], t[1]], [t[2], 0.0, -t[0]], [-t[1], t[0], 0.0]],
+        uv_a.dtype,
+    )
+    K = intr.K
+    Kinv = jnp.linalg.inv(K)
+    F21 = Kinv.T @ tx @ R @ Kinv
+    xa = jnp.concatenate([uv_a, jnp.ones((uv_a.shape[0], 1), uv_a.dtype)], -1)
+    lines = xa @ F21.T  # (A, 3) epipolar lines in image 2
+    xb = jnp.concatenate([uv_b, jnp.ones((uv_b.shape[0], 1), uv_b.dtype)], -1)
+    num = jnp.abs(lines @ xb.T)  # (A, B)
+    den = jnp.sqrt(
+        jnp.maximum(lines[:, 0] ** 2 + lines[:, 1] ** 2, 1e-12)
+    )[:, None]
+    d = num / den
+    sigma2 = sigma_px ** 2
+    if octave_b is not None:
+        sigma2 = sigma2 * (scale_factor ** octave_b.astype(uv_a.dtype)) ** 2
+        sigma2 = sigma2[None, :]
+    return (d * d) < (chi2 * sigma2)
+
+
+def word_mask(word_a: jax.Array, word_b: jax.Array) -> jax.Array:
+    """(A, B) shared-vocabulary-word gate — `SearchByBoW`'s bucket structure
+    (`src/ORBmatcher.cc:159,522`) as a mask: only features quantized to the
+    same word may match, which suppresses aliased matches under repeated
+    texture (the speed role of the buckets is already covered by the MXU
+    distance matmul)."""
+    return word_a[:, None] == word_b[None, :]
 
 
 def resolve_duplicates(match: MatchResult, num_targets: int) -> MatchResult:

@@ -186,19 +186,12 @@ def verify_loop(
     min_inliers: int = 20,
     fix_scale: bool = True,
 ) -> LoopDetection:
-    """Geometric loop verification: mutual descriptor match against the
-    candidate snapshot + RANSAC Sim3 on matched camera-frame points
+    """Geometric loop verification: vocabulary-gated descriptor match +
+    RANSAC Sim3 + SearchBySim3 correspondence growth
     (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:241`)."""
     cand_c = jnp.clip(cand, 0)
-    m = matcher.mutual_match(
-        desc_pm, feat_valid & pts_ok,
-        ls.kf_desc[cand_c], ls.kf_pts_ok[cand_c],
-        max_dist=matcher.TH_LOW, ratio=0.9,
-    )
-    midx = jnp.clip(m.idx, 0)
-    src = ls.kf_pts_cam[cand_c][midx]
-    res = ransac_sim3(
-        src, pts_cam, m.valid, key, with_scale=not fix_scale, inlier_th=0.12
+    res, _ = _match_and_solve_sim3(
+        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale
     )
     found = (cand >= 0) & res.ok & (res.num_inliers >= min_inliers)
     return LoopDetection(
@@ -208,6 +201,64 @@ def verify_loop(
         num_inliers=res.num_inliers,
         score=jnp.float32(0.0),
     )
+
+
+def _match_and_solve_sim3(
+    ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale,
+    grow_radius: float = 0.3,
+):
+    """Shared loop-verification core.
+
+    1. `SearchByBoW`-style first pass: mutual match restricted to features
+       quantized to the same vocabulary word (`src/ORBmatcher.cc:159,522`).
+    2. RANSAC Sim3 on the matched camera-frame points.
+    3. `SearchBySim3` growth (`src/ORBmatcher.cc:1102`): transform the
+       candidate's points into the current frame with the solved Sim3 and
+       re-match within a metric radius — correspondences the appearance
+       pass missed — then re-solve; keep the better of the two solutions.
+    """
+    from .place_recognition import quantize_words
+
+    cand_desc = ls.kf_desc[cand_c]
+    cand_ok = ls.kf_pts_ok[cand_c]
+    cand_pts = ls.kf_pts_cam[cand_c]
+    wm = matcher.word_mask(
+        quantize_words(desc_pm), quantize_words(cand_desc)
+    )
+    m = matcher.mutual_match(
+        desc_pm, feat_valid & pts_ok, cand_desc, cand_ok,
+        max_dist=matcher.TH_LOW, ratio=0.9, pair_mask=wm,
+    )
+    src = cand_pts[jnp.clip(m.idx, 0)]
+    res = ransac_sim3(
+        src, pts_cam, m.valid, key, with_scale=not fix_scale, inlier_th=0.12
+    )
+
+    src_in_cur = lie.transform_points(res.T_ds, cand_pts)
+    near = (
+        jnp.linalg.norm(pts_cam[:, None, :] - src_in_cur[None, :, :], axis=-1)
+        < grow_radius
+    )
+    m2 = matcher.mutual_match(
+        desc_pm, feat_valid & pts_ok, cand_desc, cand_ok,
+        max_dist=matcher.TH_HIGH, ratio=0.95, pair_mask=near,
+    )
+    src2 = jnp.where(
+        m2.valid[:, None], cand_pts[jnp.clip(m2.idx, 0)], src
+    )
+    valid2 = (m2.valid | m.valid) & res.ok  # growth only off a real seed
+    res2 = ransac_sim3(
+        src2, pts_cam, valid2, jax.random.fold_in(key, 1),
+        with_scale=not fix_scale, inlier_th=0.12,
+    )
+    better = res2.ok & (res2.num_inliers > res.num_inliers)
+    res = type(res)(
+        T_ds=jnp.where(better, res2.T_ds, res.T_ds),
+        inliers=jnp.where(better, res2.inliers, res.inliers),
+        num_inliers=jnp.where(better, res2.num_inliers, res.num_inliers),
+        ok=res.ok | (better & res2.ok),
+    )
+    return res, m
 
 
 @partial(jax.jit, static_argnames=("fix_scale",))
@@ -228,17 +279,8 @@ def detect_loop(
     cand, score = query(ls.db, sig, exclude_recent)
     cand_c = jnp.clip(cand, 0)
 
-    # Mutual descriptor match current <-> candidate snapshot.
-    m = matcher.mutual_match(
-        desc_pm, feat_valid & pts_ok,
-        ls.kf_desc[cand_c], ls.kf_pts_ok[cand_c],
-        max_dist=matcher.TH_LOW, ratio=0.9,
-    )
-    midx = jnp.clip(m.idx, 0)
-    src = ls.kf_pts_cam[cand_c][midx]  # candidate-frame points
-    dst = pts_cam  # current-frame points
-    res = ransac_sim3(
-        src, dst, m.valid, key, with_scale=not fix_scale, inlier_th=0.12
+    res, _ = _match_and_solve_sim3(
+        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale
     )
     found = (score > score_min) & res.ok & (res.num_inliers >= min_inliers)
     return LoopDetection(

@@ -87,10 +87,22 @@ def triangulate_new_points(
     intr = cfg.intr
     T1 = m.kf_Tcw[prev_kf]
     T2 = m.kf_Tcw[cur_kf]
+    # Epipolar-gated candidate set (`SearchForTriangulation`'s
+    # CheckDistEpipolarLine, `src/ORBmatcher.cc:657,747`): at real-image
+    # outlier rates a pure descriptor match triangulates ghosts; the gate
+    # removes off-line candidates BEFORE the ratio test.
+    # sigma 2 px: the gate runs on ESTIMATED keyframe poses, whose error
+    # inflates the distance of true correspondences to the predicted line.
+    epi = matcher.epipolar_mask(
+        prev_xy, frame.feats.xy, T2 @ lie.inv_se3(T1), intr,
+        octave_b=frame.feats.octave, scale_factor=cfg.orb.pyramid.scale_factor,
+        sigma_px=2.0,
+    )
     mm = matcher.mutual_match(
         prev_desc, prev_valid,
         frame.feats.desc_pm, frame.feats.valid & ~matched_feat,
         max_dist=matcher.TH_LOW, ratio=0.85,
+        pair_mask=epi,
     )
     f2 = jnp.clip(mm.idx, 0)
     uv1 = prev_xy

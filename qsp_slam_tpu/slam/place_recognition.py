@@ -36,6 +36,20 @@ _VOCAB = _make_vocab()
 
 
 @jax.jit
+def quantize_words(desc_pm: jax.Array) -> jax.Array:
+    """(F, 256) ±1 descriptors -> (F,) vocabulary word ids (one matmul).
+
+    The `SearchByBoW` bucket key (`DBoW2::FeatureVector` role): features
+    sharing a word are matching candidates."""
+    vocab = jnp.asarray(_VOCAB)
+    sim = jax.lax.dot_general(
+        desc_pm, vocab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return jnp.argmax(sim, axis=-1).astype(jnp.int32)
+
+
+@jax.jit
 def bow_signature(desc_pm: jax.Array, valid: jax.Array) -> jax.Array:
     """Frame descriptor table (F, 256) ±1 -> normalized word histogram (W,)."""
     vocab = jnp.asarray(_VOCAB)
