@@ -1,29 +1,286 @@
 """Benchmark: local-BA wall-clock per keyframe (the BASELINE.json headline).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "detail"}.
 
 value       = median wall-clock (ms) of one full local-BA keyframe update
               (two-stage 5+10 LM schedule, 20 KFs / 2000 pts / ~12k edges —
               fr1_desk-scale local BA) on the default JAX backend (TPU).
-vs_baseline = CPU-reference-time / our-time (>1 means faster).  The baseline
-              is the same algorithm in float64 numpy (BLAS) — a stand-in for
-              the reference's g2o CPU solver, which cannot be built in this
-              image (PCL/Pangolin/CUDA deps).  g2o's sparse-Cholesky LM on
-              this problem size is in the same performance class as the
-              numpy dense-Schur implementation used here.
+vs_baseline = baseline-time / our-wall-time (>1 means we are faster).  The
+              baseline is g2o's actual algorithm — block-sparse normal
+              equations factorized by a SPARSE direct solver
+              (scipy.sparse.linalg.splu ~ CHOLMOD's role in
+              g2o::LinearSolverCholmod, `/root/reference/src/Optimizer.cc:
+              566-641` schedule) — with all residual/Jacobian work
+              vectorized in numpy float64 (generous to the baseline: g2o
+              loops edges in C++).
+detail      = honest sub-metrics:
+              - device_ms: BA device-only time, tunnel RTT cancelled via the
+                two-point method ((t_loop8 - t_loop1)/7 with the BA step
+                iterated inside one jit).
+              - match_ms: 4096x4096 256-bit Hamming matching-kernel device
+                time (the ORBmatcher hot kernel, MXU +-1 matmul).
+              - fps_synthetic: steady-state end-to-end tracking fps on the
+                synthetic room (full SlamSystem.track_rgbd loop).
+              - baseline_scipy_splu_ms / baseline_scipy_schur_ms /
+                baseline_numpy_dense_ms: the three CPU baselines;
+                vs_baseline uses the FASTEST of them.
+
+Honesty note: all three baselines are Python-driven (numpy/scipy BLAS).  A
+native C++ g2o on this problem would plausibly land at 100-400 ms (10-30x
+faster than these), so read vs_baseline as "vs the best Python CPU
+implementation"; the conservative estimate against real g2o is
+~(100..400)/value — still a multiple at the current ~87 ms wall / ~55 ms
+device, but not the headline ratio.
 """
 
 import json
-import sys
+import os
 import time
 
 import numpy as np
 
 
-def numpy_reference_ba(prob, iters=15):
-    """Dense-Schur LM in numpy float64 — the CPU baseline proxy."""
-    fx, fy = float(prob.intr.fx), float(prob.intr.fy)
-    cx, cy = float(prob.intr.cx), float(prob.intr.cy)
+# ---------------------------------------------------------------------------
+# CPU baselines
+# ---------------------------------------------------------------------------
+
+def _edge_jacobians(Tcw, pts, kf, pt, uv, intr):
+    """Vectorized residuals + per-edge Jacobian blocks (numpy float64)."""
+    fx, fy, cx, cy = intr
+    pc = np.einsum("eij,ej->ei", Tcw[kf, :3, :3], pts[pt]) + Tcw[kf, :3, 3]
+    z = pc[:, 2]
+    iz = 1.0 / z
+    iz2 = iz * iz
+    u = fx * pc[:, 0] * iz + cx
+    v = fy * pc[:, 1] * iz + cy
+    r = np.stack([u - uv[:, 0], v - uv[:, 1]], -1)
+    E = len(r)
+    Jpin = np.zeros((E, 2, 3))
+    Jpin[:, 0, 0] = fx * iz
+    Jpin[:, 0, 2] = -fx * pc[:, 0] * iz2
+    Jpin[:, 1, 1] = fy * iz
+    Jpin[:, 1, 2] = -fy * pc[:, 1] * iz2
+    O = np.zeros(E)
+    hat = np.stack(
+        [
+            np.stack([O, -pc[:, 2], pc[:, 1]], -1),
+            np.stack([pc[:, 2], O, -pc[:, 0]], -1),
+            np.stack([-pc[:, 1], pc[:, 0], O], -1),
+        ],
+        -2,
+    )
+    dpdxi = np.concatenate([np.tile(np.eye(3), (E, 1, 1)), -hat], -1)
+    Jc = Jpin @ dpdxi  # (E,2,6)
+    Jp = Jpin @ Tcw[kf, :3, :3]  # (E,2,3)
+    return r, Jc, Jp
+
+
+def _exp_se3_np(xi):
+    from scipy.spatial.transform import Rotation
+
+    T = np.tile(np.eye(4), (len(xi), 1, 1))
+    w = xi[:, 3:]
+    R = Rotation.from_rotvec(w).as_matrix()
+    th = np.linalg.norm(w, axis=-1, keepdims=True)[..., None]
+    O = np.zeros(len(xi))
+    W = np.stack(
+        [
+            np.stack([O, -w[:, 2], w[:, 1]], -1),
+            np.stack([w[:, 2], O, -w[:, 0]], -1),
+            np.stack([-w[:, 1], w[:, 0], O], -1),
+        ],
+        -2,
+    )
+    th2 = np.maximum(th * th, 1e-12)
+    J = (
+        np.eye(3)
+        + (1 - np.cos(th)) / th2 * W
+        + (th - np.sin(th)) / (th2 * th + 1e-12) * W @ W
+    )
+    T[:, :3, :3] = R
+    T[:, :3, 3] = np.einsum("kij,kj->ki", J, xi[:, :3])
+    return T
+
+
+def scipy_sparse_ba(prob, iters=15):
+    """g2o-algorithm baseline: block-sparse H, sparse direct solve (splu).
+
+    Assembles the full (6K+3N) normal system as scipy.sparse CSC each LM
+    iteration and factorizes with SuperLU (COLAMD ordering) — the same
+    linear-algebra strategy class as g2o's CHOLMOD backend on the
+    camera-point arrowhead.  Gauge: cam 0 pinned via identity rows.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    intr = (
+        float(prob.intr.fx), float(prob.intr.fy),
+        float(prob.intr.cx), float(prob.intr.cy),
+    )
+    K = prob.Tcw_gt.shape[0]
+    N = prob.points_gt.shape[0]
+    Tcw = prob.Tcw_init.astype(np.float64).copy()
+    pts = prob.points_init.astype(np.float64).copy()
+    kf, pt = prob.kf_idx, prob.pt_idx
+    uv = prob.uv.astype(np.float64)
+    E = len(kf)
+    lam = 1e-3
+    dim = 6 * K + 3 * N
+
+    # Static sparsity pattern (indices reused every iteration, like g2o's
+    # one-time structure analysis).
+    cam_cols = (6 * kf[:, None] + np.arange(6)[None, :])  # (E,6)
+    pt_cols = (6 * K + 3 * pt[:, None] + np.arange(3)[None, :])  # (E,3)
+    cols = np.concatenate([cam_cols, pt_cols], 1)  # (E,9)
+    rows_i = np.repeat(cols[:, :, None], 9, 2).reshape(-1)
+    cols_i = np.repeat(cols[:, None, :], 9, 1).reshape(-1)
+
+    cost = None
+    for _ in range(iters):
+        r, Jc, Jp = _edge_jacobians(Tcw, pts, kf, pt, uv, intr)
+        J = np.concatenate([Jc, Jp], -1)  # (E,2,9)
+        JtJ = np.einsum("eai,eaj->eij", J, J)  # (E,9,9)
+        g = -np.einsum("eai,ea->ei", J, r)  # (E,9)
+        H = sp.coo_matrix(
+            (JtJ.reshape(-1), (rows_i, cols_i)), shape=(dim, dim)
+        ).tocsc()
+        b = np.zeros(dim)
+        np.add.at(b, cols.reshape(-1), g.reshape(-1))
+        # LM damping + gauge fix (cam 0 rows/cols -> identity)
+        H = H + sp.diags(lam * H.diagonal() + 1e-8)
+        fix = np.zeros(dim)
+        fix[:6] = 1.0
+        keep = sp.diags(1.0 - fix)
+        H = keep @ H @ keep + sp.diags(fix)
+        b[:6] = 0.0
+        dx = spla.splu(H).solve(b)
+        dc = dx[: 6 * K].reshape(K, 6)
+        dp = dx[6 * K:].reshape(N, 3)
+        T_try = _exp_se3_np(dc) @ Tcw
+        p_try = pts + dp
+        r_new = _edge_jacobians(T_try, p_try, kf, pt, uv, intr)[0]
+        new_cost = float(np.sum(r_new * r_new))
+        if cost is None or new_cost < cost:
+            Tcw, pts, cost = T_try, p_try, new_cost
+            lam = max(lam * 0.33, 1e-7)
+        else:
+            lam = min(lam * 3.0, 1e6)
+    return Tcw, pts
+
+
+def scipy_schur_ba(prob, iters=15):
+    """Strongest CPU baseline: Schur-complement LM, the g2o strategy done
+    with vectorized numpy block ops + scipy Cholesky on the camera system.
+
+    Exploits the problem's <=6 observations/point by padding each point's
+    edges into fixed slots, so every per-point contraction is one einsum
+    (no N*K dense blowup like the round-1 proxy).  This is the fastest CPU
+    implementation we could produce — the margin reported against it is the
+    honest one.
+    """
+    from scipy.linalg import cho_factor, cho_solve
+
+    intr = (
+        float(prob.intr.fx), float(prob.intr.fy),
+        float(prob.intr.cx), float(prob.intr.cy),
+    )
+    K = prob.Tcw_gt.shape[0]
+    N = prob.points_gt.shape[0]
+    Tcw = prob.Tcw_init.astype(np.float64).copy()
+    pts = prob.points_init.astype(np.float64).copy()
+    kf, pt = prob.kf_idx, prob.pt_idx
+    uv = prob.uv.astype(np.float64)
+    E = len(kf)
+    lam = 1e-3
+
+    # Pad each point's edges into S fixed slots (slot weight 0 = padding).
+    S = int(np.bincount(pt, minlength=N).max())
+    slot = np.zeros(E, np.int64)
+    counts = {}
+    for e in range(E):  # one-time structure pass (g2o's buildStructure role)
+        p = pt[e]
+        slot[e] = counts.get(p, 0)
+        counts[p] = slot[e] + 1
+    eslot = pt.astype(np.int64) * S + slot  # (E,) -> index into (N*S)
+    w = np.zeros(N * S)
+    w[eslot] = 1.0
+    kf_slot = np.zeros(N * S, np.int64)
+    kf_slot[eslot] = kf
+    wS = w.reshape(N, S)
+    kfS = kf_slot.reshape(N, S)
+
+    def segsum(vals, idx, n):
+        flat = vals.reshape(len(idx), -1)
+        out = np.empty((n, flat.shape[1]))
+        for c in range(flat.shape[1]):
+            out[:, c] = np.bincount(idx, weights=flat[:, c], minlength=n)
+        return out.reshape((n,) + vals.shape[1:])
+
+    cost = None
+    for _ in range(iters):
+        r, Jc, Jp = _edge_jacobians(Tcw, pts, kf, pt, uv, intr)
+        Jc = Jc.copy()
+        Jc[kf == 0] = 0.0  # gauge: fix cam 0
+        # camera/point normal blocks
+        Hcc = segsum(np.einsum("eai,eaj->eij", Jc, Jc), kf, K)
+        bc = segsum(-np.einsum("eai,ea->ei", Jc, r), kf, K)
+        # slot-padded per-point quantities
+        JpS = np.zeros((N * S, 2, 3))
+        JpS[eslot] = Jp
+        JcS = np.zeros((N * S, 2, 6))
+        JcS[eslot] = Jc
+        rS = np.zeros((N * S, 2))
+        rS[eslot] = r
+        JpS = JpS.reshape(N, S, 2, 3)
+        JcS = JcS.reshape(N, S, 2, 6)
+        rS = rS.reshape(N, S, 2)
+        Hpp = np.einsum("nsai,nsaj->nij", JpS, JpS)
+        bp = -np.einsum("nsai,nsa->ni", JpS, rS)
+        Hpp_d = Hpp + lam * Hpp * np.eye(3) + 1e-6 * np.eye(3)
+        Y = np.linalg.inv(Hpp_d)  # (N,3,3) batched LAPACK
+        B = np.einsum("nsai,nsaj->nsij", JcS, JpS)  # (N,S,6,3)
+        A = np.einsum("nsij,njk->nsik", B, Y)  # (N,S,6,3)
+        P = np.einsum("nsik,ntjk->nstij", A, B)  # (N,S,S,6,6)
+        flat_kk = (kfS[:, :, None] * K + kfS[:, None, :]).reshape(-1)
+        wpair = (wS[:, :, None] * wS[:, None, :]).reshape(-1)
+        Spairs = segsum(
+            P.reshape(-1, 6, 6) * wpair[:, None, None], flat_kk, K * K
+        ).reshape(K, K, 6, 6)
+        Hcc_d = Hcc + lam * Hcc * np.eye(6)
+        Smat = -Spairs.transpose(0, 2, 1, 3).reshape(K * 6, K * 6)
+        for k in range(K):
+            Smat[k * 6 : k * 6 + 6, k * 6 : k * 6 + 6] += Hcc_d[k]
+        Smat[:6, :] = 0
+        Smat[:, :6] = 0
+        Smat[:6, :6] = np.eye(6)
+        Ybp = np.einsum("nij,nj->ni", Y, bp)
+        rhs = bc - segsum(
+            np.einsum("nsij,nj->nsi", B, Ybp).reshape(-1, 6) * wS.reshape(-1)[:, None],
+            kfS.reshape(-1), K,
+        )
+        rhs[0] = 0
+        c, low = cho_factor(Smat + 1e-9 * np.eye(K * 6))
+        dc = cho_solve((c, low), rhs.reshape(-1)).reshape(K, 6)
+        Bdc = np.einsum("nsij,nsi->nj", B, dc[kfS] * wS[..., None])
+        dp = np.einsum("nij,nj->ni", Y, bp - Bdc)
+        T_try = _exp_se3_np(dc) @ Tcw
+        p_try = pts + dp
+        r_new = _edge_jacobians(T_try, p_try, kf, pt, uv, intr)[0]
+        new_cost = float(np.sum(r_new * r_new))
+        if cost is None or new_cost < cost:
+            Tcw, pts, cost = T_try, p_try, new_cost
+            lam = max(lam * 0.33, 1e-7)
+        else:
+            lam = min(lam * 3.0, 1e6)
+    return Tcw, pts
+
+
+def numpy_dense_schur_ba(prob, iters=15):
+    """Round-1 dense-Schur numpy proxy (kept for r01 comparability)."""
+    intr = (
+        float(prob.intr.fx), float(prob.intr.fy),
+        float(prob.intr.cx), float(prob.intr.cy),
+    )
     K = prob.Tcw_gt.shape[0]
     N = prob.points_gt.shape[0]
     Tcw = prob.Tcw_init.astype(np.float64).copy()
@@ -32,66 +289,18 @@ def numpy_reference_ba(prob, iters=15):
     uv = prob.uv.astype(np.float64)
     lam = 1e-3
 
-    def residuals(Tcw, pts):
-        pc = np.einsum("eij,ej->ei", Tcw[kf, :3, :3], pts[pt]) + Tcw[kf, :3, 3]
-        z = pc[:, 2]
-        u = fx * pc[:, 0] / z + cx
-        v = fy * pc[:, 1] / z + cy
-        r = np.stack([u - uv[:, 0], v - uv[:, 1]], -1)
-        return pc, r
-
-    def hat(p):
-        O = np.zeros(len(p))
-        return np.stack(
-            [
-                np.stack([O, -p[:, 2], p[:, 1]], -1),
-                np.stack([p[:, 2], O, -p[:, 0]], -1),
-                np.stack([-p[:, 1], p[:, 0], O], -1),
-            ],
-            -2,
-        )
-
-    def exp_se3(xi):
-        from scipy.spatial.transform import Rotation
-
-        T = np.tile(np.eye(4), (len(xi), 1, 1))
-        w = xi[:, 3:]
-        R = Rotation.from_rotvec(w).as_matrix()
-        th = np.linalg.norm(w, axis=-1, keepdims=True)[..., None]
-        W = hat(w)
-        th2 = np.maximum(th * th, 1e-12)
-        J = (
-            np.eye(3)
-            + (1 - np.cos(th)) / th2 * W
-            + (th - np.sin(th)) / (th2 * th + 1e-12) * W @ W
-        )
-        T[:, :3, :3] = R
-        T[:, :3, 3] = np.einsum("kij,kj->ki", J, xi[:, :3])
-        return T
+    def segsum(vals, idx, n):
+        flat = vals.reshape(len(idx), -1)
+        out = np.empty((n, flat.shape[1]))
+        for c in range(flat.shape[1]):
+            out[:, c] = np.bincount(idx, weights=flat[:, c], minlength=n)
+        return out.reshape((n,) + vals.shape[1:])
 
     cost = None
-    for it in range(iters):
-        pc, r = residuals(Tcw, pts)
-        z = pc[:, 2]
-        iz = 1.0 / z
-        iz2 = iz * iz
-        Jpin = np.zeros((len(r), 2, 3))
-        Jpin[:, 0, 0] = fx * iz
-        Jpin[:, 0, 2] = -fx * pc[:, 0] * iz2
-        Jpin[:, 1, 1] = fy * iz
-        Jpin[:, 1, 2] = -fy * pc[:, 1] * iz2
-        dpdxi = np.concatenate([np.tile(np.eye(3), (len(r), 1, 1)), -hat(pc)], -1)
-        Jc = Jpin @ dpdxi
-        Jc[kf == 0] = 0.0  # gauge: fix cam 0
-        Jp = Jpin @ Tcw[kf, :3, :3]
-        # normal blocks (bincount accumulation — much faster than np.add.at)
-        def segsum(vals, idx, n):
-            flat = vals.reshape(len(idx), -1)
-            out = np.empty((n, flat.shape[1]))
-            for c in range(flat.shape[1]):
-                out[:, c] = np.bincount(idx, weights=flat[:, c], minlength=n)
-            return out.reshape((n,) + vals.shape[1:])
-
+    for _ in range(iters):
+        r, Jc, Jp = _edge_jacobians(Tcw, pts, kf, pt, uv, intr)
+        Jc = Jc.copy()
+        Jc[kf == 0] = 0.0
         Hcc = segsum(np.einsum("eai,eaj->eij", Jc, Jc), kf, K)
         bc = segsum(-np.einsum("eai,ea->ei", Jc, r), kf, K)
         Hpp = segsum(np.einsum("eai,eaj->eij", Jp, Jp), pt, N)
@@ -112,12 +321,10 @@ def numpy_reference_ba(prob, iters=15):
         rhs = bc - np.einsum("nkac,nc->ka", Bnk, np.einsum("nab,nb->na", Y, bp))
         rhs[0] = 0
         dc = np.linalg.solve(S, rhs.reshape(-1)).reshape(K, 6)
-        dp = np.einsum(
-            "nab,nb->na", Y, bp - np.einsum("nkac,ka->nc", Bnk, dc)
-        )
-        T_try = exp_se3(dc) @ Tcw
+        dp = np.einsum("nab,nb->na", Y, bp - np.einsum("nkac,ka->nc", Bnk, dc))
+        T_try = _exp_se3_np(dc) @ Tcw
         p_try = pts + dp
-        _, r_new = residuals(T_try, p_try)
+        r_new, _, _ = _edge_jacobians(T_try, p_try, kf, pt, uv, intr)
         new_cost = float(np.sum(r_new * r_new))
         if cost is None or new_cost < cost:
             Tcw, pts, cost = T_try, p_try, new_cost
@@ -127,41 +334,158 @@ def numpy_reference_ba(prob, iters=15):
     return Tcw, pts
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Device measurements
+# ---------------------------------------------------------------------------
+
+def measure_ba(prob):
+    """Wall-clock median + device-only time (two-point loop-in-jit method)."""
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
-    from qsp_slam_tpu.data.synthetic import ba_edges, make_ba_problem
+    from qsp_slam_tpu.data.synthetic import ba_edges
     from qsp_slam_tpu.opt.local_ba import local_bundle_adjustment
+
+    K = prob.Tcw_gt.shape[0]
+    edges = ba_edges(prob)
+    cam_fixed = jnp.zeros(K, bool).at[0].set(True)
+
+    def step(T, p):
+        out = local_bundle_adjustment(T, p, cam_fixed, edges, prob.intr)
+        return out.Tcw, out.points
+
+    f1 = jax.jit(step)
+
+    def loop8(T, p):
+        return lax.fori_loop(0, 8, lambda i, c: step(*c), (T, p))
+
+    f8 = jax.jit(loop8)
+    T0, p0 = jnp.asarray(prob.Tcw_init), jnp.asarray(prob.points_init)
+    jax.block_until_ready(f1(T0, p0))  # compile
+    times = []
+    for _ in range(7):
+        t = time.perf_counter()
+        jax.block_until_ready(f1(T0, p0))
+        times.append((time.perf_counter() - t) * 1e3)
+    wall_ms = float(np.median(times))
+
+    jax.block_until_ready(f8(T0, p0))  # compile
+    t8s = []
+    for _ in range(3):
+        t = time.perf_counter()
+        jax.block_until_ready(f8(T0, p0))
+        t8s.append((time.perf_counter() - t) * 1e3)
+    t8 = float(np.median(t8s))
+    device_ms = max((t8 - wall_ms) / 7.0, 0.0)
+    return wall_ms, device_ms
+
+
+def measure_matching(n=4096, bits=256):
+    """256-bit Hamming matching-kernel device time (ORBmatcher hot op)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from qsp_slam_tpu.frontend.matcher import hamming_matrix
+
+    key = jax.random.PRNGKey(0)
+    a = (jax.random.bernoulli(key, 0.5, (n, bits)).astype(jnp.int8) * 2 - 1)
+    b = (jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, (n, bits))
+         .astype(jnp.int8) * 2 - 1)
+
+    f1 = jax.jit(lambda a, b: hamming_matrix(a, b)[0, 0])
+
+    def loop(a, b):
+        def body(i, acc):
+            # sign-flip the operand so XLA cannot hoist the matmul out
+            s = ((i % 2) * 2 - 1).astype(jnp.int8)
+            return acc + hamming_matrix(a * s, b)[0, 0]
+        return lax.fori_loop(0, 16, body, jnp.int32(0))
+
+    f16 = jax.jit(loop)
+    jax.block_until_ready(f1(a, b))
+    t = time.perf_counter()
+    for _ in range(3):
+        jax.block_until_ready(f1(a, b))
+    t1 = (time.perf_counter() - t) / 3 * 1e3
+    jax.block_until_ready(f16(a, b))
+    t = time.perf_counter()
+    jax.block_until_ready(f16(a, b))
+    t16 = (time.perf_counter() - t) * 1e3
+    return max((t16 - t1) / 15.0, 0.0)
+
+
+def measure_fps(num_frames=14):
+    """Steady-state end-to-end tracking fps on the synthetic room."""
+    import jax.numpy as jnp
+
+    from qsp_slam_tpu.data.render import make_room, orbit_trajectory, render_frame
+    from qsp_slam_tpu.frontend.orb import OrbConfig
+    from qsp_slam_tpu.slam.system import SlamSystem
+    from qsp_slam_tpu.slam.tracking import TrackingConfig
+
+    cfg = TrackingConfig(orb=OrbConfig(num_features=1000))
+    room = make_room()
+    traj = orbit_trajectory(num_frames)
+    sysm = SlamSystem(cfg, enable_objects=False)
+    per_frame = []
+    for i in range(num_frames):
+        gray, depth = render_frame(room, jnp.asarray(traj[i]), cfg.intr)
+        gray, depth = np.asarray(gray), np.asarray(depth)
+        t = time.perf_counter()
+        sysm.track_rgbd(gray, depth)
+        per_frame.append(time.perf_counter() - t)
+    steady = float(np.median(per_frame[-6:]))
+    return 1.0 / steady if steady > 0 else 0.0
+
+
+def main():
+    from qsp_slam_tpu.data.synthetic import make_ba_problem
 
     prob = make_ba_problem(
         num_cams=20, num_points=2000, obs_per_point=6, outlier_frac=0.05, seed=0
     )
-    edges = ba_edges(prob)
-    cam_fixed = jnp.zeros(20, bool).at[0].set(True)
-    f = jax.jit(
-        lambda T, p: local_bundle_adjustment(T, p, cam_fixed, edges, prob.intr)
-    )
-    T0, p0 = jnp.asarray(prob.Tcw_init), jnp.asarray(prob.points_init)
-    jax.block_until_ready(f(T0, p0))  # compile
-    times = []
-    for _ in range(7):
-        t = time.perf_counter()
-        jax.block_until_ready(f(T0, p0))
-        times.append((time.perf_counter() - t) * 1e3)
-    ours_ms = float(np.median(times))
+
+    wall_ms, device_ms = measure_ba(prob)
 
     t = time.perf_counter()
-    numpy_reference_ba(prob, iters=15)
-    base_ms = (time.perf_counter() - t) * 1e3
+    scipy_sparse_ba(prob, iters=15)
+    splu_ms = (time.perf_counter() - t) * 1e3
+    t = time.perf_counter()
+    scipy_schur_ba(prob, iters=15)
+    schur_ms = (time.perf_counter() - t) * 1e3
+    t = time.perf_counter()
+    numpy_dense_schur_ba(prob, iters=15)
+    dense_ms = (time.perf_counter() - t) * 1e3
+    # Most favorable baseline = the honest margin.
+    base_ms = min(splu_ms, schur_ms, dense_ms)
+
+    detail = {
+        "device_ms": round(device_ms, 2),
+        "baseline_scipy_splu_ms": round(splu_ms, 1),
+        "baseline_scipy_schur_ms": round(schur_ms, 1),
+        "baseline_numpy_dense_ms": round(dense_ms, 1),
+        "vs_baseline_device": round(base_ms / max(device_ms, 1e-9), 2),
+    }
+    if os.environ.get("QSP_BENCH_FAST") != "1":
+        try:
+            detail["match_ms"] = round(measure_matching(), 3)
+        except Exception as e:  # never lose the headline to a sub-metric
+            detail["match_error"] = type(e).__name__
+        try:
+            detail["fps_synthetic"] = round(measure_fps(), 2)
+        except Exception as e:
+            detail["fps_error"] = type(e).__name__
 
     print(
         json.dumps(
             {
                 "metric": "local_ba_ms_per_keyframe",
-                "value": round(ours_ms, 2),
+                "value": round(wall_ms, 2),
                 "unit": "ms",
-                "vs_baseline": round(base_ms / ours_ms, 2),
+                "vs_baseline": round(base_ms / wall_ms, 2),
+                "detail": detail,
             }
         )
     )
