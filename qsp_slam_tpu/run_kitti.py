@@ -84,6 +84,9 @@ def main(argv=None):
     if seq.poses is not None:
         gt_Tcw = np.stack([np.linalg.inv(T) for T in seq.poses[:n]])
         out["ate_rmse_m"] = ate_rmse(est, gt_Tcw)
+        from qsp_slam_tpu.eval.ate import rpe
+
+        out.update(rpe(est, gt_Tcw))
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         save_trajectory_kitti(os.path.join(args.save_dir, "trajectory.txt"), est)

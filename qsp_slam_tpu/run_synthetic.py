@@ -102,6 +102,9 @@ def main(argv=None):
     out = sysm.summary()
     out["num_frames"] = num_frames
     out["ate_rmse_m"] = ate_rmse(est, Tcw_gt[: len(est)])
+    from qsp_slam_tpu.eval.ate import rpe
+
+    out.update(rpe(est, Tcw_gt[: len(est)]))
     out["backend"] = jax.default_backend()
     if with_objects:
         import jax.numpy as jnp

@@ -101,6 +101,9 @@ def main(argv=None):
     est = np.stack(sysm.trajectory)
     if all(g is not None for g in gt) and gt:
         out["ate_rmse_m"] = ate_rmse(est, np.stack(gt))
+        from qsp_slam_tpu.eval.ate import rpe
+
+        out.update(rpe(est, np.stack(gt)))
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         save_trajectory_tum(

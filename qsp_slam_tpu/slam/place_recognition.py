@@ -92,16 +92,38 @@ def add_signature(db: PlaceDatabase, sig: jax.Array) -> PlaceDatabase:
     )
 
 
+def _idf_scores(db: PlaceDatabase, sig: jax.Array) -> jax.Array:
+    """idf-weighted cosine of `sig` against every stored signature.
+
+    Parity: DBoW2's tf-idf scoring (`TemplatedVocabulary::transform`) —
+    words that appear in most keyframes (floors, repeated texture) carry
+    little evidence and are down-weighted by log(N/df); without this a
+    perceptually-aliased sequence saturates every score.  Weighted vectors
+    are re-normalized so scores remain comparable cosines in [0, 1].
+    """
+    K = db.signatures.shape[0]
+    kf_ok = (jnp.arange(K) < db.count).astype(jnp.float32)
+    df = jnp.sum((db.signatures > 0).astype(jnp.float32) * kf_ok[:, None], 0)
+    n = jnp.maximum(db.count.astype(jnp.float32), 1.0)
+    idf = jnp.log((1.0 + n) / (1.0 + df))
+    a = db.signatures * idf[None, :]
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-9)
+    q = sig * idf
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-9)
+    return a @ q
+
+
 @jax.jit
 def query(
     db: PlaceDatabase, sig: jax.Array, exclude_recent: int = 10
 ) -> tuple[jax.Array, jax.Array]:
-    """Cosine scores against all stored keyframes; recent ones masked out.
+    """idf-weighted cosine scores against all stored keyframes; recent ones
+    masked out.
 
     Returns (best_kf_id, best_score); callers threshold (parity with
     `DetectLoopCandidates` minimum-score gating).
     """
-    scores = db.signatures @ sig  # (Kmax,)
+    scores = _idf_scores(db, sig)  # (Kmax,)
     kf_ids = jnp.arange(db.signatures.shape[0])
     ok = (kf_ids < db.count - exclude_recent)
     scores = jnp.where(ok, scores, -1.0)
@@ -117,7 +139,7 @@ def query_topk(
     database has fewer eligible entries (parity: `DetectLoopCandidates`
     returns a candidate LIST that feeds consistency grouping,
     `src/KeyFrameDatabase.cc:76`)."""
-    scores = db.signatures @ sig
+    scores = _idf_scores(db, sig)
     kf_ids = jnp.arange(db.signatures.shape[0])
     ok = kf_ids < db.count - exclude_recent
     scores = jnp.where(ok, scores, -jnp.inf)

@@ -61,6 +61,9 @@ class SlamSystem:
     omax: int = 32
     enable_objects: bool = True
     enable_loop_closing: bool = True
+    # Relocalization is its own capability (keyframe snapshots are always
+    # maintained), not a side effect of loop closing.
+    enable_relocalization: bool = True
     # Structural perception in the keyframe loop (`TaskRelationship` →
     # `RefineObjectsWithRelations`, `src/Tracking_util.cc:1081-1375`):
     # Manhattan plane tracking + object-plane relations + supporting-plane
@@ -179,7 +182,7 @@ class SlamSystem:
             # (`Tracking::Relocalization` path); fall back to the constant-
             # velocity prediction if it fails.
             relocated = False
-            if self.enable_loop_closing and int(self.loop_state.db.count) > 0:
+            if self.enable_relocalization and int(self.loop_state.db.count) > 0:
                 from .relocalization import relocalize
 
                 r = relocalize(

@@ -93,6 +93,42 @@ class TestWordMask:
         assert agree > 0.5, agree
 
 
+class TestIdfScoring:
+    def test_idf_downweights_ubiquitous_words(self):
+        """Aliasing: every stored KF shares a dominant common-word block;
+        only the true match shares the query's distinctive words.  Raw tf
+        cosine ranks an impostor (more common-word mass) first; idf ranks
+        the true match first."""
+        from qsp_slam_tpu.slam.place_recognition import (
+            NUM_WORDS, empty_database, add_signature, query,
+        )
+
+        def sig(common_w, distinct, distinct_w):
+            s = np.zeros(NUM_WORDS, np.float32)
+            s[:24] = common_w  # words 0..23 appear in EVERY keyframe
+            for d in distinct:
+                s[d] = distinct_w
+            return jnp.asarray(s / np.linalg.norm(s))
+
+        db = empty_database(kmax=16)
+        # 12 aliased keyframes with heavy common mass, light distinct words
+        for k in range(12):
+            db = add_signature(db, sig(1.0, [100 + 3 * k, 101 + 3 * k], 0.6))
+        # the true match: lighter common mass, strong distinctive overlap
+        db = add_signature(db, sig(0.4, [400, 401, 402], 1.0))
+        true_id = 12
+        for _ in range(3):  # recency padding so the match is eligible
+            db = add_signature(db, sig(1.0, [300], 0.2))
+
+        q = sig(1.0, [400, 401, 402], 1.0)
+        raw = np.asarray(db.signatures @ q).copy()
+        raw[int(db.count) - 3:] = -1
+        best, score = query(db, q, exclude_recent=3)
+        assert int(np.argmax(raw)) != true_id  # tf alone is fooled
+        assert int(best) == true_id
+        assert float(score) > 0.5
+
+
 class TestSim3Growth:
     def test_growth_recovers_damaged_correspondences(self):
         rng = np.random.default_rng(3)
