@@ -35,10 +35,14 @@ class SyntheticBA(NamedTuple):
 
 
 def _lookat(cpos: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """Camera pose looking at `target`, y-DOWN convention (world y is down,
+    camera +y aligns with world +y): consistent with `orbit_trajectory` and
+    the ground estimator's default `camera_up_hint=(0,-1,0)` — an up-hint
+    against a y-up pose silently inverts every "lowest structure" test."""
     z = target - cpos
     z = z / np.linalg.norm(z)
-    up = np.array([0.0, -1.0, 0.0])
-    x = np.cross(up, z)
+    down = np.array([0.0, 1.0, 0.0])
+    x = np.cross(down, z)
     if np.linalg.norm(x) < 1e-6:
         x = np.array([1.0, 0.0, 0.0])
     x = x / np.linalg.norm(x)

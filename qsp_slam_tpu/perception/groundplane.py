@@ -69,21 +69,31 @@ def ransac_plane(
     # only 0.1% of the time.
     V = jnp.maximum(jnp.sum(valid.astype(jnp.int32)), 1)
     if below_frac > 0.0 and normal_hint is not None:
-        # Ground search: the floor is the LOWEST structure, so draw
+        # Ground search: the floor is the LOWEST structure, so draw HALF the
         # hypotheses from the low tail of heights along the up hint (lowest
         # 25% of valid points).  In sparse maps the floor can be a few
         # percent of the cloud (features cluster on objects/walls) — uniform
         # triples then almost never land on it, while the low tail is floor
-        # + object bottoms RESTING on the floor.
+        # + object bottoms RESTING on the floor.  The other HALF stays
+        # uniform over all valid points: under camera pitch the hint is a
+        # rotated proxy for gravity and the "low tail" drifts onto far
+        # structure (depth leaks into the height), while a dense downward
+        # view is floor-dominated and uniform triples nail it.
         hint_u = normal_hint / jnp.linalg.norm(normal_hint)
         h = pts @ hint_u
         pool = jnp.argsort(jnp.where(valid, h, jnp.inf))
         Vp = jnp.maximum((V + 3) // 4, jnp.minimum(V, 3))
+        pool_u = jnp.argsort(~valid)
+        u = jax.random.uniform(key, (num_hyp, 3))
+        half = num_hyp // 2
+        idx_lo = pool[jnp.clip((u[:half] * Vp).astype(jnp.int32), 0, M - 1)]
+        idx_un = pool_u[jnp.clip((u[half:] * V).astype(jnp.int32), 0, M - 1)]
+        idx = jnp.concatenate([idx_lo, idx_un])
     else:
         pool = jnp.argsort(~valid)  # valid indices first
         Vp = V
-    u = jax.random.uniform(key, (num_hyp, 3))
-    idx = pool[jnp.clip((u * Vp).astype(jnp.int32), 0, M - 1)]
+        u = jax.random.uniform(key, (num_hyp, 3))
+        idx = pool[jnp.clip((u * Vp).astype(jnp.int32), 0, M - 1)]
     tri = pts[idx]  # (H, 3, 3)
     n = jnp.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
     nn = jnp.linalg.norm(n, axis=-1, keepdims=True)
@@ -145,12 +155,21 @@ def ransac_plane(
     d_r = -jnp.dot(n_r, mu)
     refined = jnp.concatenate([n_r, d_r[None]])
     inl = jnp.sum((jnp.abs(pts @ n_r + d_r) < inlier_th) & valid)
-    if below_frac > 0.0 and normal_hint is not None:
-        # Refinement can drift the plane off the ground and up into a denser
-        # band (its inlier set is a slab, not the true surface); keep the
-        # raw winning hypothesis when the refined plane breaks feasibility.
-        below_r = jnp.sum(((pts @ n_r + d_r) < -3.0 * inlier_th) & valid)
-        keep_raw = below_r > jnp.maximum(3, (below_frac * V).astype(jnp.int32))
+    if normal_hint is not None:
+        # Refinement can drift the plane off the ground and into a denser
+        # band (its inlier set is a SLAB, not the true surface): a tilted
+        # raw hypothesis that just passes the alignment gate can slice a
+        # thick stripe through a dominant wall, and the SVD refit of that
+        # stripe snaps to the WALL plane — which also has nothing "below"
+        # it, so the feasibility check alone does not catch it.  Keep the
+        # raw winning hypothesis when the refined plane breaks feasibility
+        # OR leaves the hint cone.
+        keep_raw = jnp.abs(jnp.dot(n_r, hint)) < hint_cos_min
+        if below_frac > 0.0:
+            below_r = jnp.sum(((pts @ n_r + d_r) < -3.0 * inlier_th) & valid)
+            keep_raw |= below_r > jnp.maximum(
+                3, (below_frac * V).astype(jnp.int32)
+            )
         raw = jnp.concatenate([n_b, d_b[None]])
         inl_raw = jnp.sum((jnp.abs(pts @ n_b + d_b) < inlier_th) & valid)
         refined = jnp.where(keep_raw, raw, refined)

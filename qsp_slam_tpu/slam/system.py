@@ -92,6 +92,9 @@ class SlamSystem:
     loops_closed: int = 0
     objects: ObjectTable = field(init=False)
     ground_plane: Optional[np.ndarray] = None  # world-frame (4,)
+    # Keyframes fused into `ground_plane` so far (bootstrap re-estimation
+    # stops after 10 consistent keyframes).
+    _gp_count: int = 0
     Tcw: np.ndarray = field(init=False)
     velocity: np.ndarray = field(init=False)
     initialized: bool = False
@@ -404,7 +407,14 @@ class SlamSystem:
             kp_pts = backproject(frame.feats.xy, frame.depth, cfg.intr)
             kp_ok = frame.depth > 0.0
 
-        if self.ground_plane is None:
+        if self.ground_plane is None or self._gp_count < 10:
+            # Ground-plane bootstrap: a SINGLE keyframe's RANSAC draw is a
+            # high-variance estimate (sparse stereo clouds carry range-biased
+            # depth; a slab a few degrees off can tie the true floor), so
+            # keep re-estimating for the first keyframes and FUSE by a
+            # count-weighted running mean — the per-frame luck averages out.
+            # Parity: `ProcessGroundPlaneEstimation` also re-runs until the
+            # plane is activated (`src/Tracking_util.cc:714`).
             if sparse:
                 from ..perception.groundplane import estimate_ground_plane_points
 
@@ -414,13 +424,31 @@ class SlamSystem:
             else:
                 gp = estimate_ground_plane(depth, cfg.intr, jax.random.PRNGKey(kf_id))
             if bool(gp.ok):
-                # Store in world frame: pi_w = T_cw^T pi_c (planes transform
-                # by the inverse-transpose of the point map; see core.plane).
                 from ..core import plane as plane_mod
 
-                pi_w = plane_mod.transform(gp.plane, lie.inv_se3(Tcw))
-                self.ground_plane = np.asarray(pi_w)
-            else:
+                # Store in world frame: pi_w = T_cw^T pi_c (planes transform
+                # by the inverse-transpose of the point map; see core.plane).
+                pi_w_new = np.asarray(plane_mod.transform(gp.plane, lie.inv_se3(Tcw)))
+                pi_w_new = pi_w_new / np.linalg.norm(pi_w_new[:3])
+                if self.ground_plane is None:
+                    self.ground_plane = pi_w_new
+                    self._gp_count = 1
+                else:
+                    cur = self.ground_plane
+                    # Only fuse consistent re-detections (same plane up to
+                    # 15 degrees / 0.4 m) — a bad draw must not drag a good
+                    # consensus, and vice versa the count keeps growing so a
+                    # one-off outlier frame loses influence.
+                    if (
+                        float(np.dot(cur[:3], pi_w_new[:3])) > 0.966
+                        and abs(float(cur[3] - pi_w_new[3])) < 0.4
+                    ):
+                        k = self._gp_count
+                        fused = (k * cur + pi_w_new) / (k + 1)
+                        fused = fused / np.linalg.norm(fused[:3])
+                        self.ground_plane = fused
+                        self._gp_count = k + 1
+            elif self.ground_plane is None:
                 return  # objects wait for a gravity reference
         pi_w = jnp.asarray(self.ground_plane)
         from ..core import plane as plane_mod
@@ -440,7 +468,14 @@ class SlamSystem:
 
         D = bbox.shape[0]
         keys = jax.random.split(jax.random.PRNGKey(1000 + kf_id), D)
-        if sparse:
+        if "ellipsoid_cam" in detections:
+            # A learned 3D detector (perception/detector3d) already measured
+            # the full landmark geometry — seed objects from its boxes
+            # instead of re-fitting from sparse keypoints (the role of
+            # `det->SE3Tco` in the reference's stereo object path).
+            fit_e = jnp.asarray(detections["ellipsoid_cam"], jnp.float32)
+            fit_ok = jnp.asarray(detections["fit_ok"])
+        elif sparse:
             from ..perception.ellipsoid_fit import fit_ellipsoid_points
 
             def fit_one(b):
@@ -455,14 +490,17 @@ class SlamSystem:
                 )
 
             fits = jax.vmap(fit_one)(bbox)
+            fit_e, fit_ok = fits.ellipsoid_cam, fits.ok
         elif self.enable_structures or self.enable_symmetry:
             fits = self._fit_detections_structured(
                 depth, bbox, keys, pi_cam, Tcw
             )
+            fit_e, fit_ok = fits.ellipsoid_cam, fits.ok
         else:
             fits = jax.vmap(
                 lambda b, k: fit_ellipsoid_depth(depth, b, pi_cam, cfg.intr, k)
             )(bbox, keys)
+            fit_e, fit_ok = fits.ellipsoid_cam, fits.ok
 
         # Extrapolate dynamic objects to this keyframe before association
         # (velocity model, `src/LocalMapping_util.cc:151-192`).
@@ -474,7 +512,7 @@ class SlamSystem:
         )
         self.objects = integrate_keyframe(
             self.objects, Tcw, bbox, label, prob, dvalid,
-            fits.ellipsoid_cam, fits.ok & dvalid, assoc, kf_id=jnp.int32(kf_id),
+            fit_e, fit_ok & dvalid, assoc, kf_id=jnp.int32(kf_id),
         )
         # Relation typing + relation-aware refinement
         # (`TaskRelationship` → `RefineObjectsWithRelations`).
