@@ -24,8 +24,14 @@ def main(argv=None):
     ap.add_argument("--detections", default=None, help="per-frame det npz dir")
     ap.add_argument(
         "--lidar-detections", action="store_true",
-        help="generate object detections from velodyne scans (detector3d "
-        "stand-in: ground removal + clustering)",
+        help="generate object detections from velodyne scans (geometric "
+        "ground removal + clustering unless --detector3d is given)",
+    )
+    ap.add_argument(
+        "--detector3d", default=None, metavar="PARAMS_NPZ",
+        help="learned PointPillars-class detector params "
+        "(train with `python -m qsp_slam_tpu.train_detector3d`); implies "
+        "--lidar-detections and seeds objects from the predicted 3D boxes",
     )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -61,6 +67,13 @@ def main(argv=None):
     )
     sysm = SlamSystem(cfg, kmax=128, nmax=16384, emax=131072)
 
+    d3d = None
+    if args.detector3d:
+        from qsp_slam_tpu.perception.detector3d import load_detector3d
+
+        d3d = load_detector3d(args.detector3d)
+        args.lidar_detections = True
+
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     for idx in range(n):
         gl, gr = seq.load_gray_pair(idx)
@@ -70,11 +83,20 @@ def main(argv=None):
             if os.path.exists(p):
                 det = load_detection_cache(p)
         elif args.lidar_detections:
-            from qsp_slam_tpu.perception.lidar_detect import lidar_detections
-
             velo = seq.load_velodyne(idx, max_points=30000)
             pts_cam = seq.transform_velo_to_cam(velo)
-            det = lidar_detections(pts_cam, cfg.intr, W, H)
+            if d3d is not None:
+                from qsp_slam_tpu.perception.detector3d import (
+                    lidar_detections_learned,
+                )
+
+                det = lidar_detections_learned(
+                    d3d[0], d3d[1], pts_cam, cfg.intr, W, H
+                )
+            else:
+                from qsp_slam_tpu.perception.lidar_detect import lidar_detections
+
+                det = lidar_detections(pts_cam, cfg.intr, W, H)
         sysm.track_stereo(gl, gr, det)
         if (idx + 1) % 50 == 0:
             print(f"[{idx + 1}/{n}] kfs={sysm.stats['keyframes']}", file=sys.stderr)
