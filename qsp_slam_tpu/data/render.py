@@ -28,10 +28,17 @@ class BoxRoom(NamedTuple):
     axes_u: jax.Array  # (6, 3) plane-local u axis
     axes_v: jax.Array  # (6, 3) plane-local v axis
     textures: jax.Array  # (6, T, T) f32 grayscale
+    # Texture period in meters (the full T-texel image wraps once per
+    # period).  Must keep texels at >= a pixel for the viewing distances of
+    # the scene: sub-pixel texels alias into per-frame shimmering noise that
+    # no descriptor can match across frames (a 10 m period is right for
+    # room-scale scenes at 2-4 m; driving scenes at 10-40 m need ~80 m).
+    tex_period: jax.Array = jnp.float32(10.0)
 
 
 def make_room(
-    half_extent=(4.0, 2.2, 4.0), tex_size: int = 512, seed: int = 0
+    half_extent=(4.0, 2.2, 4.0), tex_size: int = 512, seed: int = 0,
+    tex_period: float = 10.0,
 ) -> BoxRoom:
     hx, hy, hz = half_extent
     rng = np.random.default_rng(seed)
@@ -76,6 +83,7 @@ def make_room(
         axes_u=jnp.asarray(axes_u),
         axes_v=jnp.asarray(axes_v),
         textures=jnp.asarray(tex),
+        tex_period=jnp.float32(tex_period),
     )
 
 
@@ -98,16 +106,23 @@ def make_scene(
     half_extent=(4.0, 2.2, 4.0),
     num_tables: int = 0,
     table_height: float = 0.75,
+    half_range=((0.12, 0.10, 0.12), (0.35, 0.30, 0.35)),
+    z_range=None,
+    tex_period: float = 10.0,
 ) -> Scene:
     """Room with ellipsoid objects resting on the floor (y = +hy, y down).
 
     With `num_tables` > 0, horizontal table slabs are added and the FIRST
     `num_tables` objects rest on them instead of the floor (the supporting-
     plane / relation test scenario, `src/Relationship/Relationship.cpp`).
+    `half_range` bounds the per-axis object half-extents (car-sized scenes
+    pass car-sized bounds); `z_range` overrides the forward placement band.
     """
-    room = make_room(half_extent=half_extent, seed=seed)
+    room = make_room(half_extent=half_extent, seed=seed, tex_period=tex_period)
     rng = np.random.default_rng(seed + 100)
     hx, hy, hz = half_extent
+    if z_range is None:
+        z_range = (0.8, hz * 0.9)
     slabs, slab_albedo = [], []
     for t in range(num_tables):
         cx = rng.uniform(-hx * 0.4, hx * 0.4)
@@ -117,7 +132,7 @@ def make_scene(
         slab_albedo.append(rng.uniform(90.0, 150.0))
     els, labels, albedo = [], [], []
     for i in range(num_objects):
-        half = rng.uniform([0.12, 0.10, 0.12], [0.35, 0.30, 0.35])
+        half = rng.uniform(half_range[0], half_range[1])
         yaw = rng.uniform(0, np.pi)
         if i < num_tables:
             # resting on table i (inside its footprint)
@@ -127,7 +142,7 @@ def make_scene(
             y = s[1] - half[1]
         else:
             x = rng.uniform(-hx * 0.6, hx * 0.6)
-            z = rng.uniform(0.8, hz * 0.9)
+            z = rng.uniform(*z_range)
             # resting on floor: camera-up is -y, floor at y=+hy
             y = hy - half[1]
         # rotation about the world up axis (-y): roll/pitch zero in a frame
@@ -213,7 +228,7 @@ def render_frame(
     au = room.axes_u[best]  # (H, W, 3)
     av = room.axes_v[best]
     T = room.textures.shape[-1]
-    scale = T / 10.0  # texture meters->texels (10 m wraps once)
+    scale = T / room.tex_period  # texture meters->texels (one wrap/period)
     u = jnp.einsum("hwi,hwi->hw", hit_w, au) * scale
     v = jnp.einsum("hwi,hwi->hw", hit_w, av) * scale
     u = jnp.mod(u, T - 1.0)

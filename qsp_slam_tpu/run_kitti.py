@@ -34,6 +34,10 @@ def main(argv=None):
         "--lidar-detections and seeds objects from the predicted 3D boxes",
     )
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--kmax", type=int, default=128)
+    ap.add_argument("--nmax", type=int, default=16384)
+    ap.add_argument("--emax", type=int, default=131072)
+    ap.add_argument("--num-features", type=int, default=2000)
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -56,7 +60,8 @@ def main(argv=None):
     H, W = g0.shape
     cfg = TrackingConfig(
         orb=OrbConfig(
-            num_features=2000,  # reference KITTI budget (configs/KITTI00-02.yaml)
+            # default = reference KITTI budget (configs/KITTI00-02.yaml)
+            num_features=args.num_features,
             pyramid=PyramidConfig(height=H, width=W),
         ),
         fx=float(intr["fx"]), fy=float(intr["fy"]),
@@ -65,7 +70,7 @@ def main(argv=None):
         baseline=seq.baseline,
         depth_max=60.0,
     )
-    sysm = SlamSystem(cfg, kmax=128, nmax=16384, emax=131072)
+    sysm = SlamSystem(cfg, kmax=args.kmax, nmax=args.nmax, emax=args.emax)
 
     d3d = None
     if args.detector3d:

@@ -72,6 +72,7 @@ def save_checkpoint(path: str, system) -> None:
     if system.ground_plane is not None:
         data["ground_plane"] = system.ground_plane
     data["gp_count"] = np.asarray(system._gp_count)
+    data["kf_fresh"] = np.asarray(getattr(system, "_kf_fresh", False))
     # Monocular bootstrap state (two-view reference frame + its age).
     mono_ref = getattr(system, "_mono_ref", None)
     if mono_ref is not None:
@@ -127,6 +128,7 @@ def load_checkpoint(path: str, system) -> None:
     system.trajectory = list(data["trajectory"])
     system.ground_plane = data.get("ground_plane")
     system._gp_count = int(data.get("gp_count", 0))
+    system._kf_fresh = bool(data.get("kf_fresh", False))
     if "monoref.depth" in data:
         system._mono_ref = _rebuild(FrameData, "monoref.", data)
         system._mono_ref_age = int(data["mono_ref_age"])

@@ -176,6 +176,11 @@ class SlamSystem:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
             self.frames_since_kf += 1
+            if getattr(self, "_kf_fresh", False):
+                # First track against the replenished map: this is the real
+                # reference-keyframe visibility for the ratio trigger.
+                self.inliers_at_last_kf = max(self.inliers_at_last_kf, num_inliers)
+                self._kf_fresh = False
             if need_keyframe(
                 self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
             ):
@@ -301,7 +306,14 @@ class SlamSystem:
         kf_id = int(self.map_state.num_kfs) - 1
         self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
         self.frames_since_kf = 0
+        # Provisional reference count: res.num_inliers was measured BEFORE
+        # this keyframe's new points entered the map, so it under-counts
+        # what tracking can now see — against it the 0.75 ratio trigger
+        # (`Tracking::NeedNewKeyFrame` nRefMatches semantics) fires a whole
+        # decay cycle late on fast-turnover (forward driving) sequences.
+        # The first successful track after insertion refreshes it.
         self.inliers_at_last_kf = int(res.num_inliers)
+        self._kf_fresh = True
         self.stats["keyframes"] += 1
         if self.enable_objects and (
             self._pending_detections is not None
@@ -696,6 +708,9 @@ class SlamSystem:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
             self.frames_since_kf += 1
+            if getattr(self, "_kf_fresh", False):
+                self.inliers_at_last_kf = max(self.inliers_at_last_kf, num_inliers)
+                self._kf_fresh = False
             if need_keyframe(
                 self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
             ):
@@ -791,7 +806,10 @@ class SlamSystem:
         kf_id_i = int(self.map_state.num_kfs) - 1
         self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id_i])
         self.frames_since_kf = 0
+        # Provisional — refreshed by the first post-insertion track (see
+        # _insert_keyframe).
         self.inliers_at_last_kf = int(res.num_inliers)
+        self._kf_fresh = True
         self.stats["keyframes"] += 1
         if self.enable_objects and self._pending_detections is not None:
             t0 = time.perf_counter()
