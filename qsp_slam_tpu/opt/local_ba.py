@@ -53,6 +53,7 @@ def _lm_stage(
     delta2_mono: float = robust.CHI2_MONO,
     delta2_stereo: float = robust.CHI2_STEREO,
     init_lambda: float = 1e-3,  # multiplicative Marquardt damping (see schur.py)
+    early_exit_rtol: float = 1e-5,
 ):
     K = Tcw.shape[0]
     N = points.shape[0]
@@ -69,8 +70,7 @@ def _lm_stage(
         )
         return _total_cost(r, row_mask, edges.inv_sigma2, use_huber, delta2)
 
-    def body(carry, _):
-        Tcw_, points_, lmbda, cost = carry
+    def step(Tcw_, points_, lmbda, cost):
         r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
             Tcw_, points_, edges, intr, baseline_fx
         )
@@ -93,10 +93,39 @@ def _lm_stage(
         lmbda_next = jnp.clip(
             jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6
         )
-        return (Tcw_next, points_next, lmbda_next, cost_next), None
+        # Converged when an ACCEPTED step barely moves the cost: further
+        # iterations are pure device time (in steady-state tracking most
+        # local-BA windows start near the optimum, so the fixed 5+10
+        # schedule mostly burns converged passes).
+        converged = accept & (cost - new_cost <= early_exit_rtol * cost)
+        return Tcw_next, points_next, lmbda_next, cost_next, converged
 
     cost0 = cost_at(Tcw, points)
     lmbda0 = jnp.asarray(init_lambda, Tcw.dtype)
+    if early_exit_rtol > 0.0:
+        # Dynamic trip count (the reference's g2o terminateAction role):
+        # same per-iteration math as the scan below, exits on convergence.
+        def cond(carry):
+            _, _, _, _, it, done = carry
+            return (it < iters) & ~done
+
+        def wbody(carry):
+            Tcw_, points_, lmbda, cost, it, _ = carry
+            Tcw_n, points_n, lmbda_n, cost_n, conv = step(
+                Tcw_, points_, lmbda, cost
+            )
+            return (Tcw_n, points_n, lmbda_n, cost_n, it + 1, conv)
+
+        Tcw, points, _, cost, _, _ = jax.lax.while_loop(
+            cond, wbody, (Tcw, points, lmbda0, cost0, jnp.int32(0), jnp.bool_(False))
+        )
+        return Tcw, points, cost
+
+    def body(carry, _):
+        Tcw_, points_, lmbda, cost = carry
+        Tcw_n, points_n, lmbda_n, cost_n, _ = step(Tcw_, points_, lmbda, cost)
+        return (Tcw_n, points_n, lmbda_n, cost_n), None
+
     (Tcw, points, _, cost), _ = jax.lax.scan(
         body, (Tcw, points, lmbda0, cost0), None, length=iters
     )

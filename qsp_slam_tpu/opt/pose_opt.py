@@ -44,6 +44,7 @@ def optimize_pose(
     baseline_fx: float = 0.0,
     rounds: int = 4,
     iters_per_round: int = 10,
+    early_exit_rtol: float = 1e-5,
 ) -> PoseOptResult:
     """LM pose-only optimization against fixed world points.
 
@@ -100,10 +101,36 @@ def optimize_pose(
         act_f = active.astype(Tcw.dtype)
         carry = (Tcw, jnp.asarray(1e-3, Tcw.dtype), cost_at(Tcw, act_f, use_huber))
 
-        def body(c, _):
-            return lm_iter(c, use_huber, act_f), None
+        if early_exit_rtol > 0.0:
+            # Dynamic trip count (g2o terminateAction role): a frame that
+            # starts at the motion-model prediction usually converges in
+            # 2-3 iterations — the rest of the fixed 4x10 schedule is pure
+            # per-frame device time.
+            def cond(c):
+                _, _, _, it, done = c
+                return (it < iters_per_round) & ~done
 
-        (Tcw, _, cost), _ = jax.lax.scan(body, carry, None, length=iters_per_round)
+            def wbody(c):
+                Tcw_, lmbda, cost_, it, _ = c
+                prev = cost_
+                Tcw_n, lmbda_n, cost_n = lm_iter(
+                    (Tcw_, lmbda, cost_), use_huber, act_f
+                )
+                conv = (cost_n < prev) & (
+                    prev - cost_n <= early_exit_rtol * prev
+                )
+                return (Tcw_n, lmbda_n, cost_n, it + 1, conv)
+
+            Tcw, _, cost, _, _ = jax.lax.while_loop(
+                cond, wbody, carry + (jnp.int32(0), jnp.bool_(False))
+            )
+        else:
+            def body(c, _):
+                return lm_iter(c, use_huber, act_f), None
+
+            (Tcw, _, cost), _ = jax.lax.scan(
+                body, carry, None, length=iters_per_round
+            )
         active = gate(Tcw)
 
     return PoseOptResult(Tcw, active, jnp.sum(active), cost)

@@ -161,7 +161,10 @@ def detector_loss(params, cfg: DetectorConfig, gray, bbox, label, valid, instanc
     l_seg = jnp.mean(
         jnp.maximum(seg, 0) - seg * st + jnp.log1p(jnp.exp(-jnp.abs(seg)))
     )
-    return l_hm + 0.1 * l_sz + l_off + l_seg
+    # Full-weight size term: box extents drive the downstream ellipsoid
+    # fits, and at 0.1 the size head under-trains (matched-bbox IoU 0.69 ->
+    # 0.75 at weight 1.0 on held-out views, same recall/FP).
+    return l_hm + l_sz + l_off + l_seg
 
 
 # ---------------------------------------------------------------------------
