@@ -381,12 +381,29 @@ class SlamSystem:
             )
             # Global BA after the pose-graph correction (the reference's
             # detached-thread `RunGlobalJointBundleAdjustment`, run inline
-            # in the single-controller model).
-            from .local_mapping import global_ba_step
-
-            self.map_state = jax.block_until_ready(
-                global_ba_step(self.map_state, cfg)
+            # in the single-controller model).  Stereo mode with object
+            # pose measurements runs the JOINT variant — object vertices
+            # join the full-map problem, as in the reference
+            # (`src/LoopClosing_util.cc:295`, `GlobalJointBundleAdjustemnt`).
+            joint = (
+                self._sensor == "stereo"
+                and self.enable_objects
+                and int((self.objects.pm_kf >= 0).sum()) >= 2
             )
+            if joint:
+                from .joint_mapping import joint_ba_step
+
+                self.map_state, self.objects = jax.block_until_ready(
+                    joint_ba_step(
+                        self.map_state, self.objects, cfg, window=self.kmax
+                    )
+                )
+            else:
+                from .local_mapping import global_ba_step
+
+                self.map_state = jax.block_until_ready(
+                    global_ba_step(self.map_state, cfg)
+                )
             self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
             self.velocity = np.eye(4, dtype=np.float32)
             self.loops_closed += 1
