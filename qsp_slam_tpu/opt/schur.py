@@ -175,34 +175,26 @@ def _inv3x3_spd(A: jax.Array, lm_lambda: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
-def solve_schur(
-    blocks: NormalBlocks,
+def solve_reduced_camera(
+    H_cc: jax.Array,  # (K, 6, 6) camera diagonal blocks (undamped)
+    U: jax.Array,  # (K, 6, K, 6) sum_n B[n,k1] Y_n B[n,k2]^T
+    rhs: jax.Array,  # (K, 6)  b_c - sum_n B[n,k] Y_n b_p[n]
     lm_lambda: jax.Array,
     cam_fixed: jax.Array,
-) -> tuple[jax.Array, jax.Array]:
-    """Marginalize points, solve the reduced camera system, back-substitute.
+) -> jax.Array:
+    """Dense solve of the Schur-reduced camera system -> delta_c (K, 6).
 
-    Returns (delta_c (K, 6), delta_p (N, 3)).  `lm_lambda` is the
-    Levenberg-Marquardt additive damping applied to both H_cc and H_pp
-    diagonals.
+    Split out of `solve_schur` so the distributed paths (`parallel/`) can
+    psum the U / rhs partials across shards and run this replicated.
     """
-    K = blocks.H_cc.shape[0]
-    dtype = blocks.H_cc.dtype
-
-    Y = _inv3x3_spd(blocks.H_pp, lm_lambda)  # (N, 3, 3)
-    A = jnp.einsum("nkac,ncd->nkad", blocks.B_nk, Y)  # (N, K, 6, 3)
-    # U[k1, k2] = sum_n B[n,k1] Y_n B[n,k2]^T
-    U = jnp.einsum("nkad,nqbd->kaqb", A, blocks.B_nk)  # (K, 6, K, 6)
+    K = H_cc.shape[0]
+    dtype = H_cc.dtype
     eye6 = jnp.eye(6, dtype=dtype)
-    H_cc_d = blocks.H_cc + lm_lambda * blocks.H_cc * eye6  # Marquardt damping
+    H_cc_d = H_cc + lm_lambda * H_cc * eye6  # Marquardt damping
     S = -U.reshape(K * 6, K * 6)
     # Add the block-diagonal H_cc.
     idx = jnp.arange(K)
     S = S.reshape(K, 6, K, 6).at[idx, :, idx, :].add(H_cc_d).reshape(K * 6, K * 6)
-
-    # rhs_schur[k] = b_c[k] - sum_n B[n,k] Y_n b_p[n]
-    Yb = jnp.einsum("nab,nb->na", Y, blocks.b_p)  # (N, 3)
-    rhs = blocks.b_c - jnp.einsum("nkac,nc->ka", blocks.B_nk, Yb)  # (K, 6)
 
     # Fixed cameras: identity block, zero rhs (their H/B rows are already 0).
     fixed6 = jnp.repeat(cam_fixed, 6)
@@ -218,7 +210,30 @@ def solve_schur(
     S_sc = S * dinv[:, None] * dinv[None, :]
     chol, low = jax.scipy.linalg.cho_factor(S_sc, lower=True)
     y = jax.scipy.linalg.cho_solve((chol, low), rhs.reshape(-1) * dinv)
-    delta_c = (y * dinv).reshape(K, 6)
+    return (y * dinv).reshape(K, 6)
+
+
+def solve_schur(
+    blocks: NormalBlocks,
+    lm_lambda: jax.Array,
+    cam_fixed: jax.Array,
+) -> tuple[jax.Array, jax.Array]:
+    """Marginalize points, solve the reduced camera system, back-substitute.
+
+    Returns (delta_c (K, 6), delta_p (N, 3)).  `lm_lambda` is the
+    Levenberg-Marquardt additive damping applied to both H_cc and H_pp
+    diagonals.
+    """
+    Y = _inv3x3_spd(blocks.H_pp, lm_lambda)  # (N, 3, 3)
+    A = jnp.einsum("nkac,ncd->nkad", blocks.B_nk, Y)  # (N, K, 6, 3)
+    # U[k1, k2] = sum_n B[n,k1] Y_n B[n,k2]^T
+    U = jnp.einsum("nkad,nqbd->kaqb", A, blocks.B_nk)  # (K, 6, K, 6)
+
+    # rhs_schur[k] = b_c[k] - sum_n B[n,k] Y_n b_p[n]
+    Yb = jnp.einsum("nab,nb->na", Y, blocks.b_p)  # (N, 3)
+    rhs = blocks.b_c - jnp.einsum("nkac,nc->ka", blocks.B_nk, Yb)  # (K, 6)
+
+    delta_c = solve_reduced_camera(blocks.H_cc, U, rhs, lm_lambda, cam_fixed)
 
     # Back-substitution: delta_p = Y (b_p - sum_k B[n,k]^T delta_c[k])
     Bt_dc = jnp.einsum("nkac,ka->nc", blocks.B_nk, delta_c)  # (N, 3)

@@ -1,0 +1,225 @@
+"""Map-block-sharded bundle adjustment: POINTS sharded over the device mesh.
+
+Complements `parallel/sharded_ba.py` (edges sharded, all state replicated):
+here each device OWNS a contiguous block of map points plus every observation
+of those points, laid out as a dense per-point slot table.  This is the
+"long-context" scaling axis of the SLAM workload (SURVEY.md §5): whole-map
+global BA where the map no longer fits one chip.
+
+Memory per device divides by the mesh size for everything point-indexed —
+points, H_pp, Y, and crucially the (n, K, 6, 3) camera-point coupling tensor
+(the dominant term for big maps).  Camera state (K keyframes) is replicated:
+K is thousands at most, while N is hundreds of thousands.
+
+Per LM iteration the only communication is one psum of the Schur-reduced
+camera system — (6K)^2 + 6K floats + a scalar cost — which rides ICI.  Point
+marginalization (3x3 closed-form inverses), residual/Jacobian evaluation, and
+back-substitution are fully local to each shard.
+
+The reference has no equivalent: its global BA is a single-core g2o run over
+the whole pointer graph (`src/Optimizer.cc:54`, `GlobalJointBundleAdjustemnt`
+`src/Optimizer_util.cc:36`); its only map-scaling tools are culling and local
+windows.  This module is the TPU-native answer to the same problem.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core import lie
+from ..core.camera import Intrinsics
+from ..opt import robust
+from ..opt.reproj import ReprojEdges, residuals_and_jacobians
+from ..opt.schur import _inv3x3_spd, point_slot_table, solve_reduced_camera
+
+
+class SlotEdges(NamedTuple):
+    """Per-point dense observation table: row n = all edges of point n.
+
+    Fixed slot capacity S; `valid` masks empty slots.  A point observes a
+    camera at most once, so row n's kf entries are distinct where valid.
+    """
+
+    kf: jax.Array  # (N, S) int32 — observing camera (0 where invalid)
+    uv: jax.Array  # (N, S, 2)
+    u_right: jax.Array  # (N, S) — right-cam u for stereo rows, -1 for mono
+    inv_sigma2: jax.Array  # (N, S)
+    valid: jax.Array  # (N, S) bool
+
+
+def edges_to_slots(
+    edges: ReprojEdges, num_points: int, slots: int
+) -> SlotEdges:
+    """Regroup an edge list by point into the (N, S) slot layout.
+
+    Runs once per BA program (the edge structure is fixed across LM
+    iterations).  Points with more than `slots` observations drop the excess,
+    matching `point_slot_table` semantics.
+    """
+    table = point_slot_table(edges.pt_idx, edges.valid, num_points, slots)
+    ok = table >= 0
+    eid = jnp.clip(table, 0)
+    return SlotEdges(
+        kf=jnp.where(ok, edges.kf_idx[eid], 0).astype(jnp.int32),
+        uv=jnp.where(ok[..., None], edges.uv[eid], 0.0),
+        u_right=jnp.where(ok, edges.u_right[eid], -1.0),
+        inv_sigma2=jnp.where(ok, edges.inv_sigma2[eid], 0.0),
+        valid=ok & edges.valid[eid],
+    )
+
+
+def pad_points_for_mesh(
+    points: jax.Array, slots: SlotEdges, num_shards: int
+) -> tuple[jax.Array, SlotEdges]:
+    """Pad the point axis so it divides the mesh axis size."""
+    N = points.shape[0]
+    Np = -(-N // num_shards) * num_shards
+    if Np == N:
+        return points, slots
+    pad = Np - N
+
+    def padf(x, fill=0):
+        cfg = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, cfg, constant_values=fill)
+
+    return padf(points), SlotEdges(
+        kf=padf(slots.kf),
+        uv=padf(slots.uv),
+        u_right=padf(slots.u_right, -1.0),
+        inv_sigma2=padf(slots.inv_sigma2),
+        valid=padf(slots.valid, False),
+    )
+
+
+def map_sharded_ba(
+    mesh: Mesh,
+    Tcw: jax.Array,
+    points: jax.Array,
+    cam_fixed: jax.Array,
+    slots: SlotEdges,
+    intr: Intrinsics,
+    baseline_fx: float = 0.0,
+    iters: int = 10,
+    use_huber: bool = True,
+    axis: str = "map",
+    pre_padded: bool = False,
+):
+    """LM bundle adjustment with map points sharded over `mesh[axis]`.
+
+    Returns (Tcw, points, cost).  `points` and every SlotEdges array are
+    sharded on the point axis; cameras are replicated.  One psum of the
+    (6K)^2 reduced camera system per iteration; points never leave their
+    shard.
+    """
+    K = Tcw.shape[0]
+    N_orig = points.shape[0]
+    if not pre_padded:
+        points, slots = pad_points_for_mesh(points, slots, mesh.shape[axis])
+
+    rep = P()
+    shd = P(axis)
+    slot_specs = SlotEdges(shd, shd, shd, shd, shd)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, shd, rep, slot_specs),
+        out_specs=(rep, shd, rep),
+        check_vma=False,
+    )
+    def run(Tcw0, pts0, fixed0, s):
+        n, S = s.kf.shape  # local block of points
+        free = 1.0 - fixed0.astype(pts0.dtype)
+
+        # Local slot rows as a flat edge list over this shard's points.
+        e = ReprojEdges(
+            kf_idx=s.kf.reshape(-1),
+            pt_idx=jnp.repeat(jnp.arange(n, dtype=jnp.int32), S),
+            uv=s.uv.reshape(-1, 2),
+            u_right=s.u_right.reshape(-1),
+            inv_sigma2=s.inv_sigma2.reshape(-1),
+            valid=s.valid.reshape(-1),
+        )
+        d2 = jnp.where(e.is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+        onehot_k = jax.nn.one_hot(s.kf, K, dtype=pts0.dtype)  # (n, S, K)
+
+        def cost_at(T, p):
+            r, _, _, row_mask, _ = residuals_and_jacobians(
+                T, p, e, intr, baseline_fx
+            )
+            chi2 = jnp.sum(r * r * row_mask, axis=-1) * e.inv_sigma2
+            c = jnp.where(use_huber, robust.huber_rho(chi2, d2), chi2)
+            local = jnp.sum(jnp.where(row_mask[..., 0] > 0, c, 0.0))
+            return jax.lax.psum(local, axis)
+
+        def body(carry, _):
+            T, p, lmbda, cost = carry
+            r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
+                T, p, e, intr, baseline_fx
+            )
+            chi2 = jnp.sum(r * r * row_mask, axis=-1) * e.inv_sigma2
+            w_edge = jnp.where(
+                use_huber, robust.huber_weight(chi2, d2), jnp.ones_like(chi2)
+            )
+            w = (row_mask * (e.inv_sigma2 * w_edge)[:, None]).reshape(n, S, 3)
+            r_s = r.reshape(n, S, 3)
+            Jc_s = Jc.reshape(n, S, 3, 6) * free[s.kf][..., None, None]
+            Jp_s = Jp.reshape(n, S, 3, 3)
+            JcW = Jc_s * w[..., None]
+            JpW = Jp_s * w[..., None]
+
+            # Camera-side partials (psum'd below inside the reduced system).
+            H_cc = jnp.einsum("nsra,nsrb,nsk->kab", JcW, Jc_s, onehot_k)
+            b_c = -jnp.einsum("nsra,nsr,nsk->ka", JcW, r_s, onehot_k)
+            # Point-side: fully local.
+            H_pp = jnp.einsum("nsra,nsrb->nab", JpW, Jp_s)
+            b_p = -jnp.einsum("nsra,nsr->na", JpW, r_s)
+            B = jnp.einsum("nsra,nsrb,nsk->nkab", JcW, Jp_s, onehot_k)
+
+            Y = _inv3x3_spd(H_pp, lmbda)  # (n, 3, 3)
+            A = jnp.einsum("nkac,ncd->nkad", B, Y)
+            U = jnp.einsum("nkad,nqbd->kaqb", A, B)
+            Yb = jnp.einsum("nab,nb->na", Y, b_p)
+            rhs = b_c - jnp.einsum("nkac,nc->ka", B, Yb)
+
+            # ONE fused psum: the reduced camera system + its diagonal blocks.
+            H_cc, U, rhs = jax.lax.psum((H_cc, U, rhs), axis)
+            delta_c = solve_reduced_camera(H_cc, U, rhs, lmbda, fixed0)
+
+            # Back-substitution stays on-shard.
+            Bt_dc = jnp.einsum("nkac,ka->nc", B, delta_c)
+            delta_p = jnp.einsum("nab,nb->na", Y, b_p - Bt_dc)
+
+            T_try = lie.exp_se3(delta_c) @ T
+            p_try = p + delta_p
+            new_cost = cost_at(T_try, p_try)
+            accept = new_cost < cost
+            return (
+                jnp.where(accept, T_try, T),
+                jnp.where(accept, p_try, p),
+                jnp.clip(jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6),
+                jnp.where(accept, new_cost, cost),
+            ), None
+
+        cost0 = cost_at(Tcw0, pts0)
+        init = (Tcw0, pts0, jnp.asarray(1e-3, Tcw0.dtype), cost0)
+        (T, p, _, cost), _ = jax.lax.scan(body, init, None, length=iters)
+        return T, p, cost
+
+    T, p, cost = run(Tcw, points, cam_fixed, slots)
+    return T, p[:N_orig], cost
+
+
+def make_map_mesh(num_devices: int | None = None, axis: str = "map") -> Mesh:
+    import numpy as np
+
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.array(devs), (axis,))
