@@ -11,10 +11,12 @@ points, H_pp, Y, and crucially the (n, K, 6, 3) camera-point coupling tensor
 (the dominant term for big maps).  Camera state (K keyframes) is replicated:
 K is thousands at most, while N is hundreds of thousands.
 
-Per LM iteration the only communication is one psum of the Schur-reduced
-camera system — (6K)^2 + 6K floats + a scalar cost — which rides ICI.  Point
-marginalization (3x3 closed-form inverses), residual/Jacobian evaluation, and
-back-substitution are fully local to each shard.
+Per LM iteration the communication is two small collectives riding ICI: one
+fused psum of the Schur-reduced camera system — (6K)^2 + 6K floats — and one
+scalar psum of the candidate cost for the accept test (plus a single upfront
+cost psum before the loop).  Point marginalization (3x3 closed-form
+inverses), residual/Jacobian evaluation, and back-substitution are fully
+local to each shard.
 
 The reference has no equivalent: its global BA is a single-core g2o run over
 the whole pointer graph (`src/Optimizer.cc:54`, `GlobalJointBundleAdjustemnt`
@@ -37,6 +39,7 @@ from ..core.camera import Intrinsics
 from ..opt import robust
 from ..opt.reproj import ReprojEdges, residuals_and_jacobians
 from ..opt.schur import _inv3x3_spd, point_slot_table, solve_reduced_camera
+from .mesh import make_mesh
 
 
 class SlotEdges(NamedTuple):
@@ -53,15 +56,36 @@ class SlotEdges(NamedTuple):
     valid: jax.Array  # (N, S) bool
 
 
+def required_slots(edges: ReprojEdges, num_points: int) -> int:
+    """Slot capacity needed so no observation is dropped (max edges/point)."""
+    counts = jnp.bincount(
+        jnp.where(edges.valid, edges.pt_idx, num_points),
+        length=num_points + 1,
+    )[:num_points]
+    return int(jnp.max(counts))
+
+
 def edges_to_slots(
-    edges: ReprojEdges, num_points: int, slots: int
+    edges: ReprojEdges, num_points: int, slots: int | None = None
 ) -> SlotEdges:
     """Regroup an edge list by point into the (N, S) slot layout.
 
     Runs once per BA program (the edge structure is fixed across LM
-    iterations).  Points with more than `slots` observations drop the excess,
-    matching `point_slot_table` semantics.
+    iterations).  `slots=None` sizes the table from the data (max valid
+    observations of any point — requires concrete arrays).  An explicit
+    `slots` smaller than that is an error when the inputs are concrete:
+    silently dropping the excess observations would make the sharded solve
+    optimize a different graph than the single-device one.
     """
+    if slots is None or not isinstance(edges.pt_idx, jax.core.Tracer):
+        need = required_slots(edges, num_points)
+        if slots is None:
+            slots = max(need, 1)
+        elif need > slots:
+            raise ValueError(
+                f"edges_to_slots: slot capacity {slots} < max observations "
+                f"per point {need}; observations would be silently dropped"
+            )
     table = point_slot_table(edges.pt_idx, edges.valid, num_points, slots)
     ok = table >= 0
     eid = jnp.clip(table, 0)
@@ -113,9 +137,9 @@ def map_sharded_ba(
     """LM bundle adjustment with map points sharded over `mesh[axis]`.
 
     Returns (Tcw, points, cost).  `points` and every SlotEdges array are
-    sharded on the point axis; cameras are replicated.  One psum of the
-    (6K)^2 reduced camera system per iteration; points never leave their
-    shard.
+    sharded on the point axis; cameras are replicated.  Two collectives per
+    iteration (fused reduced-camera-system psum + scalar accept-test psum);
+    points never leave their shard.
     """
     K = Tcw.shape[0]
     N_orig = points.shape[0]
@@ -217,9 +241,4 @@ def map_sharded_ba(
 
 
 def make_map_mesh(num_devices: int | None = None, axis: str = "map") -> Mesh:
-    import numpy as np
-
-    devs = jax.devices()
-    if num_devices is not None:
-        devs = devs[:num_devices]
-    return Mesh(np.array(devs), (axis,))
+    return make_mesh(num_devices, axis)

@@ -27,6 +27,7 @@ from ..core.camera import Intrinsics
 from ..opt import robust
 from ..opt.reproj import ReprojEdges, residuals_and_jacobians
 from ..opt.schur import build_normal_blocks, solve_schur, NormalBlocks
+from .mesh import make_mesh
 
 
 def pad_edges_for_mesh(edges: ReprojEdges, num_shards: int) -> ReprojEdges:
@@ -134,9 +135,4 @@ def sharded_local_ba(
 
 
 def make_edge_mesh(num_devices: int | None = None, axis: str = "edges") -> Mesh:
-    devs = jax.devices()
-    if num_devices is not None:
-        devs = devs[:num_devices]
-    import numpy as np
-
-    return Mesh(np.array(devs), (axis,))
+    return make_mesh(num_devices, axis)

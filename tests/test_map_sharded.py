@@ -36,6 +36,23 @@ class TestSlotLayout:
             np.asarray(slots.uv)[n0, srow], np.asarray(edges.uv)[e0]
         )
 
+    def test_slot_capacity_guard(self):
+        """Undersized slot tables raise instead of silently dropping edges."""
+        import pytest
+
+        from qsp_slam_tpu.parallel.map_sharded_ba import required_slots
+
+        prob = make_ba_problem(num_cams=6, num_points=40, obs_per_point=5, seed=0)
+        edges = ba_edges(prob)
+        need = required_slots(edges, 40)
+        assert need >= 2
+        with pytest.raises(ValueError, match="slot capacity"):
+            edges_to_slots(edges, 40, slots=need - 1)
+        # slots=None sizes the table from the data: nothing dropped.
+        auto = edges_to_slots(edges, 40)
+        assert auto.kf.shape[1] == need
+        assert int(auto.valid.sum()) == int(edges.valid.sum())
+
     def test_point_padding_inert(self):
         prob = make_ba_problem(num_cams=3, num_points=37, obs_per_point=3, seed=1)
         edges = ba_edges(prob)
