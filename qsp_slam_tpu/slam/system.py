@@ -150,28 +150,33 @@ class SlamSystem:
             return self.Tcw
 
         t0 = time.perf_counter()
-        Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
-        res: TrackResult = track_frame(self.map_state, Tcw_pred, frame, cfg)
-        res = jax.block_until_ready(res)
+        Tcw_pred_np = self.velocity @ self.Tcw
+        res: TrackResult = track_frame(
+            self.map_state, jnp.asarray(Tcw_pred_np), frame, cfg
+        )
+        # ONE device->host transfer for everything the host policy needs
+        # (each separate int()/np.asarray() pull costs a tunnel round trip).
+        Tcw_new, num_inliers, dev_t, dev_r = jax.device_get(
+            (res.Tcw, res.num_inliers, res.pred_dev_t, res.pred_dev_r)
+        )
+        Tcw_new = np.asarray(Tcw_new)
+        num_inliers = int(num_inliers)
         self.stats["track_ms"].append((time.perf_counter() - t0) * 1e3)
         if self.keep_frame_info:
-            xy = np.asarray(frame.feats.xy)
+            xy, mi, mp = jax.device_get(
+                (frame.feats.xy, res.match_inlier, res.match_pt)
+            )
             tracked = np.zeros(len(xy), bool)
-            mi = np.asarray(res.match_inlier)
-            mp = np.asarray(res.match_pt)
             tracked[mp[mi & (mp >= 0)]] = True
-            self.last_frame_info = {"kp_xy": xy, "kp_tracked": tracked}
+            self.last_frame_info = {"kp_xy": np.asarray(xy), "kp_tracked": tracked}
 
-        num_inliers = int(res.num_inliers)
-        Tcw_new = np.asarray(res.Tcw)
         # Sanity gate: the windowed search is only meaningful near the
         # prediction; a "solution" far from it is a repetitive-texture
         # mismatch, not tracking (the reference encodes the same assumption
-        # through its small search radii).
-        dev = np.asarray(
-            lie.log_se3(jnp.asarray(Tcw_new @ np.linalg.inv(np.asarray(Tcw_pred))))
-        )
-        consistent = np.linalg.norm(dev[:3]) < 0.5 and np.linalg.norm(dev[3:]) < 0.5
+        # through its small search radii).  The deviation is computed in-jit
+        # (TrackResult.pred_dev_*) to avoid an extra dispatch.
+        consistent = float(dev_t) < 0.5 and float(dev_r) < 0.5
+        Tcw_pred = Tcw_pred_np
         if num_inliers >= cfg.min_track_inliers and consistent:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
@@ -266,6 +271,8 @@ class SlamSystem:
             match_inlier=jnp.zeros(self.nmax, bool),
             num_matches=jnp.int32(0),
             num_inliers=jnp.int32(0),
+            pred_dev_t=jnp.float32(0.0),
+            pred_dev_r=jnp.float32(0.0),
         )
         self.map_state = keyframe_insertion(
             self.map_state, jnp.asarray(self.Tcw), frame, dummy, self.cfg
@@ -717,11 +724,13 @@ class SlamSystem:
             self.trajectory.append(self.Tcw.copy())
             return self.Tcw
 
-        Tcw_pred = jnp.asarray(self.velocity @ self.Tcw)
-        res: TrackResult = track_frame(self.map_state, Tcw_pred, frame, cfg)
-        num_inliers = int(res.num_inliers)
+        Tcw_pred = self.velocity @ self.Tcw
+        res: TrackResult = track_frame(
+            self.map_state, jnp.asarray(Tcw_pred), frame, cfg
+        )
+        Tcw_new, num_inliers = jax.device_get((res.Tcw, res.num_inliers))
+        Tcw_new, num_inliers = np.asarray(Tcw_new), int(num_inliers)
         if num_inliers >= cfg.min_track_inliers:
-            Tcw_new = np.asarray(res.Tcw)
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
             self.frames_since_kf += 1

@@ -75,6 +75,11 @@ class TrackResult(NamedTuple):
     match_inlier: jax.Array  # (N_map,) bool — survived pose optimization
     num_matches: jax.Array  # int32
     num_inliers: jax.Array  # int32
+    # Deviation of the solution from the motion-model prediction, computed
+    # in-jit so the host consistency gate needs no extra device dispatch
+    # (log_se3 on a 4x4 costs a full tunnel round trip when done separately).
+    pred_dev_t: jax.Array  # float32 — |translation(log(T_new T_pred^-1))|
+    pred_dev_r: jax.Array  # float32 — |rotation(log(T_new T_pred^-1))|
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -163,12 +168,15 @@ def track_frame(
     res: PoseOptResult = optimize_pose(
         Tcw_pred, m.pt_xyz, edges, intr, baseline_fx=cfg.bf
     )
+    dev = lie.log_se3(res.Tcw @ lie.inv_se3(Tcw_pred))
     return TrackResult(
         Tcw=res.Tcw,
         match_pt=match.idx,
         match_inlier=res.inlier,
         num_matches=jnp.sum(match.valid),
         num_inliers=res.num_inliers,
+        pred_dev_t=jnp.linalg.norm(dev[:3]),
+        pred_dev_r=jnp.linalg.norm(dev[3:]),
     )
 
 
