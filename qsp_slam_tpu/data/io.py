@@ -87,6 +87,12 @@ def save_map(
             obj_label=np.asarray(objects.label),
             obj_prob=np.asarray(objects.prob),
             obj_valid=np.asarray(objects.valid),
+            # Shape state: the reference persists the 64-d code + Sim3Two in
+            # MapObjects.txt (`src/System_util.cc:112-194`) so meshes can be
+            # re-decoded offline; same contract here.
+            obj_code=np.asarray(objects.code),
+            obj_Tow_shape=np.asarray(objects.Tow_shape),
+            obj_shape_ok=np.asarray(objects.shape_ok),
         )
     if codes is not None:
         data["obj_codes"] = np.asarray(codes)

@@ -47,15 +47,23 @@ def main(argv=None):
 
     with np.load(args.map_npz) as z:
         data = {k: z[k] for k in z.files}
-    if "obj_codes" in data:
-        codes = data["obj_codes"]
-    elif "obj.code" in data:
-        codes = data["obj.code"]
-    else:
+    codes = next(
+        (data[k] for k in ("obj_code", "obj_codes", "obj.code") if k in data),
+        None,
+    )
+    if codes is None:
         raise SystemExit("map has no object codes")
     valid = data.get("obj_valid", data.get("obj.valid"))
-    shape_ok = data.get("obj.shape_ok", np.ones(len(codes), bool))
-    Tow = data.get("obj.Tow_shape", np.tile(np.eye(4, dtype=np.float32), (len(codes), 1, 1)))
+    shape_ok = data.get(
+        "obj_shape_ok", data.get("obj.shape_ok", np.ones(len(codes), bool))
+    )
+    Tow = data.get(
+        "obj_Tow_shape",
+        data.get(
+            "obj.Tow_shape",
+            np.tile(np.eye(4, dtype=np.float32), (len(codes), 1, 1)),
+        ),
+    )
 
     code_dim = codes.shape[1]
     if args.checkpoint:

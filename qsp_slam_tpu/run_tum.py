@@ -111,6 +111,16 @@ def main(argv=None):
         )
         save_map(os.path.join(args.save_dir, "map.npz"), sysm.map_state, sysm.objects)
         export_scene(args.save_dir, sysm.map_state, sysm.objects, trajectory=est)
+        if int(np.asarray(sysm.objects.valid).sum()) > 0:
+            # Offscreen render of the object map from the final camera
+            # (ObjectRenderer role; see viz.object_render).
+            from qsp_slam_tpu.viz.object_render import render_objects_png
+
+            render_objects_png(
+                os.path.join(args.save_dir, "objects_render.png"),
+                sysm.objects, sysm.Tcw, cfg.intr, cfg.height, cfg.width,
+                gray=gray, shape_prior=sysm.shape_prior,
+            )
     print(json.dumps(out))
     return out
 

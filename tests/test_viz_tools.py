@@ -124,3 +124,40 @@ class TestLabelTool:
         label_tool.main(["gt", "list", f])
         out = capsys.readouterr().out
         assert "label=2" in out
+
+
+class TestVisualizeMap:
+    def test_cli_renders_from_saved_map(self, tmp_path, capsys):
+        """visualize_map.py role: load map.npz -> PLYs + rendered PNG."""
+        import json
+
+        from qsp_slam_tpu import visualize_map
+        from qsp_slam_tpu.data.io import save_map
+        from qsp_slam_tpu.slam import map as mapmod
+        from qsp_slam_tpu.slam.objects import empty_objects
+
+        m = mapmod.empty_map(8, 64, 256)
+        m, _ = mapmod.add_keyframe(m, jnp.eye(4))
+        m, _ = mapmod.add_points(
+            m, jnp.ones((4, 3)), jnp.zeros((4, 256), jnp.int8),
+            jnp.zeros(4, jnp.int32), jnp.zeros((4, 3)), jnp.ones(4, bool),
+        )
+        obj = empty_objects(4)
+        e = jnp.array([0.0, 0.0, 3.0, 0, 0, 0, 0.4, 0.4, 0.4], jnp.float32)
+        obj = obj._replace(
+            ellipsoid=obj.ellipsoid.at[0].set(e),
+            valid=obj.valid.at[0].set(True),
+        )
+        mp = str(tmp_path / "map.npz")
+        save_map(mp, m, obj)
+        out = visualize_map.main(
+            [mp, "--out", str(tmp_path / "viz"), "--views", "0",
+             "--wh", "160", "120"]
+        )
+        assert out["objects"] == 1 and out["keyframes"] == 1
+        assert len(out["renders"]) == 1
+        import os
+
+        assert os.path.exists(out["renders"][0])
+        assert os.path.exists(tmp_path / "viz" / "map_points.ply")
+        assert json.loads(capsys.readouterr().out.strip())["objects"] == 1
