@@ -107,11 +107,9 @@ class TumSequence:
     def __len__(self) -> int:
         return len(self.frames)
 
-    def load(self, idx: int):
-        """Returns (gray f32 (H, W), depth f32 meters (H, W), t, T_cw_gt|None)."""
+    def _load_pil(self, rgb_rel: str, depth_rel: str):
         from PIL import Image
 
-        t, rgb_rel, depth_rel, T_wc = self.frames[idx]
         rgb = np.asarray(
             Image.open(os.path.join(self.root, rgb_rel)).convert("L"), np.float32
         )
@@ -119,8 +117,58 @@ class TumSequence:
             np.asarray(Image.open(os.path.join(self.root, depth_rel)), np.float32)
             / DEPTH_SCALE
         )
+        return rgb, depth
+
+    def load(self, idx: int):
+        """Returns (gray f32 (H, W), depth f32 meters (H, W), t, T_cw_gt|None).
+
+        Decodes through the native C++ loader when available (bit-identical
+        to the PIL path — see native/data_loader.cpp), else PIL.
+        """
+        from .native_loader import load_png
+
+        t, rgb_rel, depth_rel, T_wc = self.frames[idx]
+        rgb = load_png(os.path.join(self.root, rgb_rel), 1.0)
+        depth = load_png(
+            os.path.join(self.root, depth_rel), 1.0 / DEPTH_SCALE
+        )
+        if rgb is None or depth is None:
+            rgb, depth = self._load_pil(rgb_rel, depth_rel)
         T_cw = None if T_wc is None else np.linalg.inv(T_wc).astype(np.float32)
         return rgb, depth, t, T_cw
+
+    def prefetch_iter(
+        self, indices: list[int], threads: int = 2, lookahead: int = 4
+    ) -> Iterator:
+        """Yield (gray, depth, t, T_cw_gt|None, frame_idx) for `indices`,
+        decoding AHEAD on the native worker pool (the reference's reader
+        overlap, `qsp_slam_rgbd.cc:224-326` loop + cv::imread).  Falls back
+        to synchronous PIL decode per frame when native decode is off."""
+        from .native_loader import FramePrefetcher
+
+        pairs = [
+            (
+                os.path.join(self.root, self.frames[i][1]),
+                os.path.join(self.root, self.frames[i][2]),
+            )
+            for i in indices
+        ]
+        pf = FramePrefetcher(pairs, 1.0 / DEPTH_SCALE, threads, lookahead)
+        try:
+            for pos, i in enumerate(indices):
+                t, rgb_rel, depth_rel, T_wc = self.frames[i]
+                got = pf.get(pos)
+                if got is None:
+                    gray, depth = self._load_pil(rgb_rel, depth_rel)
+                else:
+                    gray, depth = got
+                T_cw = (
+                    None if T_wc is None
+                    else np.linalg.inv(T_wc).astype(np.float32)
+                )
+                yield gray, depth, t, T_cw, i
+        finally:
+            pf.close()
 
     def __iter__(self) -> Iterator:
         for i in range(len(self)):

@@ -63,10 +63,12 @@ def main(argv=None):
     sysm = SlamSystem(cfg, keep_frame_info=args.save_frames is not None)
     timestamps = []
     gt = []
-    for idx in range(0, len(seq), args.skip):
-        if args.max_frames and len(timestamps) >= args.max_frames:
-            break
-        gray, depth, t, T_cw_gt = seq.load(idx)
+    indices = list(range(0, len(seq), args.skip))
+    if args.max_frames:
+        indices = indices[: args.max_frames]
+    # Frames decode AHEAD on the native C++ worker pool (PIL fallback);
+    # IO/decompression overlap the tracker's device work.
+    for gray, depth, t, T_cw_gt, idx in seq.prefetch_iter(indices):
         det = None
         if args.detections:
             p = os.path.join(args.detections, f"{idx}.npz")
