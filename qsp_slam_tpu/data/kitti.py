@@ -60,12 +60,16 @@ class KittiSequence:
         return len(self.times)
 
     def load_gray_pair(self, idx: int):
-        from PIL import Image
+        from .native_loader import load_png
 
         l = os.path.join(self.root, "image_0", f"{idx:06d}.png")
         r = os.path.join(self.root, "image_1", f"{idx:06d}.png")
-        gl = np.asarray(Image.open(l), np.float32)
-        gr = np.asarray(Image.open(r), np.float32)
+        gl, gr = load_png(l), load_png(r)  # native C++ decode (None -> PIL)
+        if gl is None or gr is None:
+            from PIL import Image
+
+            gl = np.asarray(Image.open(l).convert("L"), np.float32)
+            gr = np.asarray(Image.open(r).convert("L"), np.float32)
         return gl, gr
 
     def load_velodyne(self, idx: int, max_points: int | None = None) -> np.ndarray:
