@@ -87,7 +87,10 @@ def global_ba_inputs(mesh, Tcw, points, cam_fixed, edges, axis: str = "edges"):
 
 
 def _worker(args) -> None:
-    """2-process CPU worker: distributed init + one sharded BA, print cost."""
+    """2-process CPU worker: distributed init + one sharded BA, print cost.
+
+    With --bench, also reports steady-state wall time of a 10-iteration BA
+    so the orchestrator can quantify cross-process collective overhead."""
     initialize(
         args.coordinator,
         args.num_processes,
@@ -115,21 +118,107 @@ def _worker(args) -> None:
         mesh, gT, gp, gfix, gedges, prob.intr, iters=6, pre_padded=True
     )
     jax.block_until_ready(cost)
-    print(json.dumps({
+    out = {
         "process_id": args.process_id,
         "process_count": jax.process_count(),
         "global_devices": len(jax.devices()),
         "cost": float(np.asarray(cost)),
-    }), flush=True)
+    }
+    if args.bench:
+        import time
+
+        run = lambda: sharded_local_ba(
+            mesh, gT, gp, gfix, gedges, prob.intr, iters=10, pre_padded=True
+        )
+        jax.block_until_ready(run())  # compile
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(run())
+            ts.append(time.perf_counter() - t0)
+        out["t_ms"] = round(float(np.median(ts)) * 1e3, 2)
+    print(json.dumps(out), flush=True)
+
+
+def _spawn_workers(num_processes: int, local_devices: int, bench: bool):
+    """Launch worker processes on localhost; return their parsed JSON."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, "-m", "qsp_slam_tpu.parallel.multihost",
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", str(num_processes),
+                "--process-id", str(pid),
+                "--local-devices", str(local_devices),
+            ]
+            + (["--bench"] if bench else []),
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(num_processes)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        if p.returncode != 0:
+            raise RuntimeError(f"worker failed:\n{err[-2000:]}")
+        outs.append(json.loads([l for l in out.splitlines() if l.startswith("{")][-1]))
+    return outs
+
+
+def orchestrate(local_devices: int = 2) -> dict:
+    """Measure cross-process (DCN-role) overhead: the SAME 4-device sharded
+    BA run as 1 process x 4 devices vs 2 processes x 2 devices on localhost.
+
+    On one box all processes share the host's cores, so the single-process
+    time is the shared-core ideal and the ratio isolates what the
+    process boundary adds (serialization + cross-process collectives) —
+    a conservative lower bound on real 2-host DCN scaling, where each
+    process brings its own chips."""
+    one = _spawn_workers(1, 2 * local_devices, bench=True)
+    two = _spawn_workers(2, local_devices, bench=True)
+    t1 = one[0]["t_ms"]
+    t2 = max(o["t_ms"] for o in two)
+    result = {
+        "problem": "6 KF / 200 pts sharded BA, 10 LM iters, 4 devices",
+        "t_1proc_ms": t1,
+        "t_2proc_ms": t2,
+        "cross_process_overhead": round(t2 / t1 - 1.0, 3),
+        "cost_agrees": abs(one[0]["cost"] - two[0]["cost"])
+        < 1e-3 * abs(one[0]["cost"]) + 1e-6,
+        "note": (
+            "localhost: both topologies share the same cores, so t_1proc is "
+            "the shared-core ideal; the ratio is the process-boundary cost"
+        ),
+    }
+    print(json.dumps({"multihost": result}), flush=True)
+    return result
 
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--coordinator", required=True)
-    p.add_argument("--num-processes", type=int, required=True)
-    p.add_argument("--process-id", type=int, required=True)
+    p.add_argument("--orchestrate", action="store_true")
+    p.add_argument("--coordinator")
+    p.add_argument("--num-processes", type=int)
+    p.add_argument("--process-id", type=int)
     p.add_argument("--local-devices", type=int, default=2)
-    _worker(p.parse_args(argv))
+    p.add_argument("--bench", action="store_true")
+    args = p.parse_args(argv)
+    if args.orchestrate:
+        orchestrate(args.local_devices)
+    else:
+        if not args.coordinator:
+            p.error("--coordinator required (or use --orchestrate)")
+        _worker(args)
 
 
 if __name__ == "__main__":
