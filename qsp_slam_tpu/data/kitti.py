@@ -72,6 +72,27 @@ class KittiSequence:
             gr = np.asarray(Image.open(r).convert("L"), np.float32)
         return gl, gr
 
+    def prefetch_pairs(self, indices, threads: int = 2, lookahead: int = 4):
+        """Yield (gray_left, gray_right) for `indices`, decoding ahead on
+        the native worker pool (PIL fallback per frame)."""
+        from .native_loader import FramePrefetcher
+
+        indices = list(indices)
+        pairs = [
+            (
+                os.path.join(self.root, "image_0", f"{i:06d}.png"),
+                os.path.join(self.root, "image_1", f"{i:06d}.png"),
+            )
+            for i in indices
+        ]
+        pf = FramePrefetcher(pairs, 1.0, threads, lookahead)
+        try:
+            for pos, i in enumerate(indices):
+                got = pf.get(pos)
+                yield got if got is not None else self.load_gray_pair(i)
+        finally:
+            pf.close()
+
     def load_velodyne(self, idx: int, max_points: int | None = None) -> np.ndarray:
         """Load velodyne scan (N, 4) [x, y, z, reflectance], cam0 frame ready
         via `transform_velo_to_cam`."""

@@ -101,7 +101,10 @@ def detect_keypoints(
     features (`ORBextractor::DistributeOctTree` semantics).
     """
     H, W = img.shape
-    score = nms3x3(fast_score(img, threshold))
+    # Fused Pallas kernel on TPU (one VMEM pass), XLA formulation elsewhere.
+    from ..ops.fast_pallas import fast_score_nms_auto
+
+    score = fast_score_nms_auto(img, threshold)
 
     # Pad to a multiple of the cell size and tile into cells.
     Hp = -(-H // cell) * cell

@@ -80,8 +80,9 @@ def main(argv=None):
         args.lidar_detections = True
 
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
-    for idx in range(n):
-        gl, gr = seq.load_gray_pair(idx)
+    # Stereo pairs decode AHEAD on the native C++ worker pool (PIL fallback).
+    pair_iter = seq.prefetch_pairs(range(n))
+    for idx, (gl, gr) in zip(range(n), pair_iter):
         det = None
         if args.detections:
             p = os.path.join(args.detections, f"{idx}.npz")
