@@ -26,7 +26,6 @@ from .local_mapping import local_ba_step
 from .loop_closing import (
     LoopState,
     correct_loop,
-    detect_loop,
     empty_loop_state,
     snapshot_keyframe,
 )
@@ -45,7 +44,6 @@ from .tracking import (
     TrackResult,
     keyframe_insertion,
     need_keyframe,
-    process_and_track,
     process_frame,
     track_frame,
 )
@@ -150,9 +148,9 @@ class SlamSystem:
             return self.Tcw
 
         t0 = time.perf_counter()
-        Tcw_pred_np = self.velocity @ self.Tcw
+        Tcw_pred = self.velocity @ self.Tcw
         res: TrackResult = track_frame(
-            self.map_state, jnp.asarray(Tcw_pred_np), frame, cfg
+            self.map_state, jnp.asarray(Tcw_pred), frame, cfg
         )
         # ONE device->host transfer for everything the host policy needs
         # (each separate int()/np.asarray() pull costs a tunnel round trip).
@@ -176,7 +174,6 @@ class SlamSystem:
         # through its small search radii).  The deviation is computed in-jit
         # (TrackResult.pred_dev_*) to avoid an extra dispatch.
         consistent = float(dev_t) < 0.5 and float(dev_r) < 0.5
-        Tcw_pred = Tcw_pred_np
         if num_inliers >= cfg.min_track_inliers and consistent:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
