@@ -29,7 +29,7 @@ Honesty note: all three baselines are Python-driven (numpy/scipy BLAS).  A
 native C++ g2o on this problem would plausibly land at 100-400 ms (10-30x
 faster than these), so read vs_baseline as "vs the best Python CPU
 implementation"; the conservative estimate against real g2o is
-~(100..400)/value — still a multiple at the current ~87 ms wall / ~55 ms
+~(100..400)/value — still a multiple at the current ~59 ms wall / ~34 ms
 device, but not the headline ratio.
 """
 

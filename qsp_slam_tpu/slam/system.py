@@ -135,11 +135,11 @@ class SlamSystem:
         )
         self._ensure_capacity()
         cfg = self.cfg
-        # Two dispatches (process, then track) measured FASTER end to end on
-        # this stack than the fused `process_and_track` single dispatch
-        # (198 ms vs 113 ms median + minutes more remote compile): the big
-        # fused graph schedules worse than two medium ones. Revisit on
-        # locally-attached hardware.
+        # Two dispatches (process, then track): measured no better fused on
+        # the tunneled TPU (the per-execution overhead tracks the LARGEST
+        # program, not the count — fused ~91 ms vs 84+33 split, within
+        # noise once transfers overlap) and the fused graph costs minutes
+        # more remote compile. Revisit on locally-attached hardware.
         frame = process_frame(jnp.asarray(gray), jnp.asarray(depth), cfg)
 
         if not self.initialized:
@@ -154,8 +154,11 @@ class SlamSystem:
         )
         # ONE device->host transfer for everything the host policy needs
         # (each separate int()/np.asarray() pull costs a tunnel round trip).
-        Tcw_new, num_inliers, dev_t, dev_r = jax.device_get(
-            (res.Tcw, res.num_inliers, res.pred_dev_t, res.pred_dev_r)
+        Tcw_new, num_inliers, dev_t, dev_r, n_close_trk, n_close_new = (
+            jax.device_get(
+                (res.Tcw, res.num_inliers, res.pred_dev_t, res.pred_dev_r,
+                 res.tracked_close, res.untracked_close)
+            )
         )
         Tcw_new = np.asarray(Tcw_new)
         num_inliers = int(num_inliers)
@@ -174,6 +177,10 @@ class SlamSystem:
         # through its small search radii).  The deviation is computed in-jit
         # (TrackResult.pred_dev_*) to avoid an extra dispatch.
         consistent = float(dev_t) < 0.5 and float(dev_r) < 0.5
+        self.stats.setdefault("inliers", []).append(num_inliers)
+        self.stats.setdefault("track_ok", []).append(
+            bool(num_inliers >= cfg.min_track_inliers and consistent)
+        )
         if num_inliers >= cfg.min_track_inliers and consistent:
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
@@ -184,7 +191,9 @@ class SlamSystem:
                 self.inliers_at_last_kf = max(self.inliers_at_last_kf, num_inliers)
                 self._kf_fresh = False
             if need_keyframe(
-                self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
+                self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg,
+                tracked_close=int(n_close_trk),
+                untracked_close=int(n_close_new),
             ):
                 self._insert_keyframe(frame, res)
         else:
@@ -270,6 +279,8 @@ class SlamSystem:
             num_inliers=jnp.int32(0),
             pred_dev_t=jnp.float32(0.0),
             pred_dev_r=jnp.float32(0.0),
+            tracked_close=jnp.int32(0),
+            untracked_close=jnp.int32(0),
         )
         self.map_state = keyframe_insertion(
             self.map_state, jnp.asarray(self.Tcw), frame, dummy, self.cfg
@@ -689,7 +700,10 @@ class SlamSystem:
         cfg = self.cfg
         fl = extract_features(jnp.asarray(gray_left), cfg.orb)
         fr = extract_features(jnp.asarray(gray_right), cfg.orb)
-        u_r = match_stereo(fl, fr, cfg.bf)
+        u_r = match_stereo(
+            fl, fr, cfg.bf,
+            gray_left=jnp.asarray(gray_left), gray_right=jnp.asarray(gray_right),
+        )
         depth_kp = depth_from_u_right(fl.xy[:, 0], u_r, cfg.bf)
         # Build a sparse depth image at keypoint locations so the common
         # RGB-D entry applies (depth sampling happens at those same pixels).

@@ -50,6 +50,10 @@ class TrackingConfig(NamedTuple):
     kf_max_interval: int = 30
     kf_tracked_ratio: float = 0.75
     new_points_per_kf: int = 256
+    # "Close" depth for the stereo/RGB-D keyframe trigger, as a multiple of
+    # the baseline (reference ThDepth semantics: 40 x 0.08 m = 3.2 m on TUM,
+    # 40 x 0.54 m = 21.6 m on KITTI; `src/Tracking.cc:1129-1135`).
+    close_depth_factor: float = 40.0
 
     @property
     def intr(self) -> Intrinsics:
@@ -80,6 +84,12 @@ class TrackResult(NamedTuple):
     # (log_se3 on a 4x4 costs a full tunnel round trip when done separately).
     pred_dev_t: jax.Array  # float32 — |translation(log(T_new T_pred^-1))|
     pred_dev_r: jax.Array  # float32 — |rotation(log(T_new T_pred^-1))|
+    # Close-point census for the stereo/RGB-D keyframe trigger
+    # (`Tracking::NeedNewKeyFrame` nTrackedClose/nNonTrackedClose,
+    # `src/Tracking.cc:1129-1135`): a forward-moving camera must spawn a
+    # keyframe BEFORE it outruns its close map coverage.
+    tracked_close: jax.Array  # int32 — inlier-matched features with close depth
+    untracked_close: jax.Array  # int32 — close-depth features not yet in the map
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -169,6 +179,13 @@ def track_frame(
         Tcw_pred, m.pt_xyz, edges, intr, baseline_fx=cfg.bf
     )
     dev = lie.log_se3(res.Tcw @ lie.inv_se3(Tcw_pred))
+    # Close-point census (see TrackResult): which FEATURES carry an inlier
+    # match, and which close-depth features are still unmapped.
+    F = frame.feats.capacity
+    feat_inlier = jnp.zeros(F, bool).at[fidx].max(res.inlier & match.valid)
+    close = (frame.depth > 0.0) & (
+        frame.depth < cfg.close_depth_factor * cfg.baseline
+    )
     return TrackResult(
         Tcw=res.Tcw,
         match_pt=match.idx,
@@ -177,6 +194,8 @@ def track_frame(
         num_inliers=res.num_inliers,
         pred_dev_t=jnp.linalg.norm(dev[:3]),
         pred_dev_r=jnp.linalg.norm(dev[3:]),
+        tracked_close=jnp.sum(close & feat_inlier),
+        untracked_close=jnp.sum(close & frame.feats.valid & ~feat_inlier),
     )
 
 
@@ -283,10 +302,21 @@ def need_keyframe(
     num_inliers: int,
     inliers_at_last_kf: int,
     cfg: TrackingConfig,
+    tracked_close: int = 0,
+    untracked_close: int = 0,
 ) -> bool:
-    """Host-side keyframe policy (`Tracking::NeedNewKeyFrame` essentials)."""
+    """Host-side keyframe policy (`Tracking::NeedNewKeyFrame` essentials).
+
+    Triggers: max interval, tracked-ratio decay, and the stereo/RGB-D
+    close-point census (`src/Tracking.cc:1129-1135` bNeedToInsertClose):
+    when fewer than 100 close points are tracked while more than 70 close
+    features are unmapped, the camera is OUTRUNNING its map (forward
+    driving) and must spawn a keyframe even though the inlier ratio still
+    looks healthy."""
     if frames_since_kf < cfg.kf_min_interval:
         return False
     if frames_since_kf >= cfg.kf_max_interval:
+        return True
+    if tracked_close < 100 and untracked_close > 70:
         return True
     return num_inliers < cfg.kf_tracked_ratio * max(inliers_at_last_kf, 1)

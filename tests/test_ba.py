@@ -147,3 +147,29 @@ class TestPoseOpt:
         res = jax.vmap(lambda T: optimize_pose(T, pts, edges, prob.intr))(Tcw0)
         errs = [cam_position_rmse(res.Tcw[i][None], prob.Tcw_gt[:1]) for i in range(4)]
         assert max(errs) < 0.005, errs
+
+
+class TestKeyframePolicy:
+    def test_close_point_trigger(self):
+        """`NeedNewKeyFrame` close-point census (`src/Tracking.cc:1129-1135`):
+        a healthy inlier ratio must not suppress keyframe insertion when the
+        camera is outrunning its close map coverage."""
+        from qsp_slam_tpu.slam.tracking import TrackingConfig, need_keyframe
+
+        cfg = TrackingConfig()
+        # Ratio healthy, but few tracked-close and many unmapped-close.
+        assert need_keyframe(
+            5, 200, 210, cfg, tracked_close=50, untracked_close=200
+        )
+        # Plenty of close coverage: no trigger.
+        assert not need_keyframe(
+            5, 200, 210, cfg, tracked_close=150, untracked_close=200
+        )
+        # Nothing new to map: no trigger.
+        assert not need_keyframe(
+            5, 200, 210, cfg, tracked_close=50, untracked_close=10
+        )
+        # Min interval always wins.
+        assert not need_keyframe(
+            1, 200, 210, cfg, tracked_close=50, untracked_close=200
+        )

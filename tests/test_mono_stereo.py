@@ -113,3 +113,39 @@ class TestStereo:
         d_gt = np.asarray(dl)[yi, xi]
         err = np.abs(np.asarray(depth)[ok] - d_gt[ok]) / d_gt[ok]
         assert np.median(err) < 0.05, np.median(err)
+
+    def test_subpixel_refinement_tightens_disparity(self):
+        """With images, the SAD subpixel scan + median prune must hold
+        disparity error well under a pixel (the coarse feature-to-feature
+        disparity is only pixel-accurate, a multi-meter depth error at
+        driving ranges — see frontend/stereo.py)."""
+        cfg = TrackingConfig(orb=OrbConfig(num_features=400))
+        room = make_room()
+        baseline = 0.12
+        bf = baseline * float(cfg.intr.fx)
+        T_l = jnp.eye(4)
+        T_r = jnp.eye(4).at[0, 3].set(-baseline)
+        gl, dl = render_frame(room, T_l, cfg.intr)
+        gr, _ = render_frame(room, T_r, cfg.intr)
+        fl = extract_features(gl, cfg.orb)
+        fr = extract_features(gr, cfg.orb)
+        u_coarse = match_stereo(fl, fr, bf)
+        u_fine = match_stereo(fl, fr, bf, gray_left=gl, gray_right=gr)
+        xi = np.clip(np.round(np.asarray(fl.xy[:, 0])).astype(int), 0, 639)
+        yi = np.clip(np.round(np.asarray(fl.xy[:, 1])).astype(int), 0, 479)
+        d_gt = np.asarray(dl)[yi, xi]
+        disp_gt = bf / np.maximum(d_gt, 1e-6)
+
+        def disp_err(u_r):
+            ok = np.asarray(u_r) >= 0
+            disp = np.asarray(fl.xy[:, 0]) - np.asarray(u_r)
+            return ok, np.abs(disp - disp_gt)
+
+        ok_c, err_c = disp_err(u_coarse)
+        ok_f, err_f = disp_err(u_fine)
+        assert ok_f.sum() > 100
+        med_f = float(np.median(err_f[ok_f]))
+        assert med_f < 0.4, med_f
+        assert med_f < float(np.median(err_c[ok_c]))
+        # Gross mismatches (> 2 px) must be pruned to a small fraction.
+        assert float(np.mean(err_f[ok_f] > 2.0)) < 0.08
