@@ -397,14 +397,14 @@ def measure_matching(n=4096, bits=256):
     # Reduce over the FULL distance matrix: consuming a single element (the
     # old [0, 0] probe) lets XLA slice the matmul down to one output row and
     # report ~0 ms.  The sum forces every element to be produced.
-    f1 = jax.jit(lambda a, b: hamming_matrix(a, b).astype(jnp.int32).sum())
+    f1 = jax.jit(lambda a, b: hamming_matrix(a, b).astype(jnp.float32).sum())
 
     def loop(a, b):
         def body(i, acc):
             # sign-flip the operand so XLA cannot hoist the matmul out
             s = ((i % 2) * 2 - 1).astype(jnp.int8)
-            return acc + hamming_matrix(a * s, b).astype(jnp.int32).sum()
-        return lax.fori_loop(0, 16, body, jnp.int32(0))
+            return acc + hamming_matrix(a * s, b).astype(jnp.float32).sum()
+        return lax.fori_loop(0, 16, body, jnp.float32(0))
 
     f16 = jax.jit(loop)
     jax.block_until_ready(f1(a, b))

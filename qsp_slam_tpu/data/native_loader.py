@@ -16,6 +16,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -84,6 +85,8 @@ def native_available() -> bool:
 
 MAX_PIXELS = 2048 * 1536  # covers TUM 640x480 and KITTI 1242x376 amply
 
+_tls = threading.local()
+
 
 def load_png(path: str, scale: float = 1.0) -> Optional[np.ndarray]:
     """Decode a PNG to float32 (grayscale; RGB converts by PIL's formula).
@@ -94,7 +97,11 @@ def load_png(path: str, scale: float = 1.0) -> Optional[np.ndarray]:
     lib = _load_native() if native_available() else None
     if lib is None:
         return None
-    buf = np.empty(MAX_PIXELS, np.float32)
+    # Thread-local reusable scratch (ctypes releases the GIL mid-call, so a
+    # module-global buffer would race across threads).
+    buf = getattr(_tls, "scratch", None)
+    if buf is None:
+        buf = _tls.scratch = np.empty(MAX_PIXELS, np.float32)
     w = ctypes.c_int(0)
     h = ctypes.c_int(0)
     rc = lib.ql_load_png(
@@ -130,6 +137,10 @@ class FramePrefetcher:
         self._pool = None
         if self._lib is not None:
             self._pool = self._lib.ql_pool_create(threads, MAX_PIXELS)
+            # Reusable staging buffers (get() is serialized by design; a
+            # fresh 12.6 MB pair per frame is pure allocator churn).
+            self._gray_buf = np.empty(MAX_PIXELS, np.float32)
+            self._depth_buf = np.empty(MAX_PIXELS, np.float32)
             self._fill(0)
 
     def _fill(self, upto_base: int):
@@ -153,8 +164,7 @@ class FramePrefetcher:
         self._fill(idx)
         if idx >= self._submitted:
             return None
-        gray = np.empty(MAX_PIXELS, np.float32)
-        depth = np.empty(MAX_PIXELS, np.float32)
+        gray, depth = self._gray_buf, self._depth_buf
         w = ctypes.c_int(0)
         h = ctypes.c_int(0)
         fp = ctypes.POINTER(ctypes.c_float)

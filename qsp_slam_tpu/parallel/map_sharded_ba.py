@@ -65,6 +65,17 @@ def required_slots(edges: ReprojEdges, num_points: int) -> int:
     return int(jnp.max(counts))
 
 
+def _warn_dropped(dropped) -> None:
+    if int(dropped) > 0:
+        import warnings
+
+        warnings.warn(
+            f"edges_to_slots: {int(dropped)} observations dropped — slot "
+            "capacity is smaller than the max observations per point; the "
+            "sharded solve is optimizing a reduced graph"
+        )
+
+
 def edges_to_slots(
     edges: ReprojEdges, num_points: int, slots: int | None = None
 ) -> SlotEdges:
@@ -77,7 +88,8 @@ def edges_to_slots(
     silently dropping the excess observations would make the sharded solve
     optimize a different graph than the single-device one.
     """
-    if slots is None or not isinstance(edges.pt_idx, jax.core.Tracer):
+    traced = isinstance(edges.pt_idx, jax.core.Tracer)
+    if slots is None or not traced:
         need = required_slots(edges, num_points)
         if slots is None:
             slots = max(need, 1)
@@ -88,6 +100,12 @@ def edges_to_slots(
             )
     table = point_slot_table(edges.pt_idx, edges.valid, num_points, slots)
     ok = table >= 0
+    if traced:
+        # Under jit the capacity check above cannot run at trace time;
+        # surface any drop at EXECUTION time instead of silently
+        # optimizing a reduced graph.
+        dropped = jnp.sum(edges.valid) - jnp.sum(ok & edges.valid[jnp.clip(table, 0)])
+        jax.debug.callback(_warn_dropped, dropped)
     eid = jnp.clip(table, 0)
     return SlotEdges(
         kf=jnp.where(ok, edges.kf_idx[eid], 0).astype(jnp.int32),

@@ -167,11 +167,21 @@ def _spawn_workers(num_processes: int, local_devices: int, bench: bool):
         for pid in range(num_processes)
     ]
     outs = []
-    for p in procs:
-        out, err = p.communicate(timeout=600)
-        if p.returncode != 0:
-            raise RuntimeError(f"worker failed:\n{err[-2000:]}")
-        outs.append(json.loads([l for l in out.splitlines() if l.startswith("{")][-1]))
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=600)
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed:\n{err[-2000:]}")
+            outs.append(
+                json.loads([l for l in out.splitlines() if l.startswith("{")][-1])
+            )
+    finally:
+        # A failed/timed-out worker must not leave its sibling blocked in
+        # the distributed rendezvous (kill by Popen handle, never pattern).
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return outs
 
 
@@ -216,8 +226,15 @@ def main(argv=None):
     if args.orchestrate:
         orchestrate(args.local_devices)
     else:
-        if not args.coordinator:
-            p.error("--coordinator required (or use --orchestrate)")
+        if (
+            not args.coordinator
+            or args.num_processes is None
+            or args.process_id is None
+        ):
+            p.error(
+                "--coordinator, --num-processes and --process-id are "
+                "required in worker mode (or use --orchestrate)"
+            )
         _worker(args)
 
 

@@ -153,20 +153,19 @@ class SlamSystem:
             self.map_state, jnp.asarray(Tcw_pred), frame, cfg
         )
         # ONE device->host transfer for everything the host policy needs
-        # (each separate int()/np.asarray() pull costs a tunnel round trip).
-        Tcw_new, num_inliers, dev_t, dev_r, n_close_trk, n_close_new = (
-            jax.device_get(
-                (res.Tcw, res.num_inliers, res.pred_dev_t, res.pred_dev_r,
+        # (each separate int()/np.asarray() pull costs a tunnel round trip);
+        # the FrameDrawer arrays ride the same transfer when enabled.
+        fetch = (res.Tcw, res.num_inliers, res.pred_dev_t, res.pred_dev_r,
                  res.tracked_close, res.untracked_close)
-            )
-        )
+        if self.keep_frame_info:
+            fetch = fetch + (frame.feats.xy, res.match_inlier, res.match_pt)
+        got = jax.device_get(fetch)
+        Tcw_new, num_inliers, dev_t, dev_r, n_close_trk, n_close_new = got[:6]
         Tcw_new = np.asarray(Tcw_new)
         num_inliers = int(num_inliers)
         self.stats["track_ms"].append((time.perf_counter() - t0) * 1e3)
         if self.keep_frame_info:
-            xy, mi, mp = jax.device_get(
-                (frame.feats.xy, res.match_inlier, res.match_pt)
-            )
+            xy, mi, mp = got[6:]
             tracked = np.zeros(len(xy), bool)
             tracked[mp[mi & (mp >= 0)]] = True
             self.last_frame_info = {"kp_xy": np.asarray(xy), "kp_tracked": tracked}

@@ -179,13 +179,16 @@ def track_frame(
         Tcw_pred, m.pt_xyz, edges, intr, baseline_fx=cfg.bf
     )
     dev = lie.log_se3(res.Tcw @ lie.inv_se3(Tcw_pred))
-    # Close-point census (see TrackResult): which FEATURES carry an inlier
-    # match, and which close-depth features are still unmapped.
-    F = frame.feats.capacity
-    feat_inlier = jnp.zeros(F, bool).at[fidx].max(res.inlier & match.valid)
+    # Close-point census (see TrackResult), scatter-free: matches are unique
+    # per feature after resolve_duplicates, so counting inlier rows whose
+    # FEATURE is close equals counting matched close features; the unmapped
+    # count is the complement within the close set (depth > 0 already
+    # implies feats.valid — process_frame zeroes invalid features' depth).
     close = (frame.depth > 0.0) & (
         frame.depth < cfg.close_depth_factor * cfg.baseline
     )
+    tracked_close = jnp.sum(res.inlier & match.valid & close[fidx])
+    untracked_close = jnp.sum(close) - tracked_close
     return TrackResult(
         Tcw=res.Tcw,
         match_pt=match.idx,
@@ -194,8 +197,8 @@ def track_frame(
         num_inliers=res.num_inliers,
         pred_dev_t=jnp.linalg.norm(dev[:3]),
         pred_dev_r=jnp.linalg.norm(dev[3:]),
-        tracked_close=jnp.sum(close & feat_inlier),
-        untracked_close=jnp.sum(close & frame.feats.valid & ~feat_inlier),
+        tracked_close=tracked_close,
+        untracked_close=untracked_close,
     )
 
 

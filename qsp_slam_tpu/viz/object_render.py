@@ -277,8 +277,13 @@ def render_objects_png(
             xi = np.clip(np.round(uv[..., 0]).astype(int), 0, W - 1)
             yi = np.clip(np.round(uv[..., 1]).astype(int), 0, H - 1)
             m = np.isfinite(d_c) & (d_c < depth[yi, xi])
-            depth[yi[m], xi[m]] = d_c[m]
-            rgb[yi[m], xi[m]] = rgb_c[m]
+            # Several crop samples can round to one pixel; fancy assignment
+            # is last-write-wins, so write farthest-first and the NEAREST
+            # sample lands last (the GL depth test's result).
+            ys, xs, ds, cs = yi[m], xi[m], d_c[m], rgb_c[m]
+            order = np.argsort(-ds)
+            depth[ys[order], xs[order]] = ds[order]
+            rgb[ys[order], xs[order]] = cs[order]
 
     if gray is not None:
         bg = np.clip(np.asarray(gray, np.float32) / 255.0, 0, 1)[..., None]
