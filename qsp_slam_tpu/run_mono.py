@@ -19,6 +19,12 @@ def main(argv=None):
     ap.add_argument("--config", default=None)
     ap.add_argument("--save-dir", default=None)
     ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument(
+        "--detections", default=None,
+        help="directory of per-frame detection caches (<idx>.npz replay "
+        "seam) — spawns monocular object landmarks via the bbox-only "
+        "PriorInfer path (`GetObjectDetectionsMono`)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -42,12 +48,19 @@ def main(argv=None):
         cfg = TrackingConfig()
 
     seq = TumSequence(args.sequence)
-    sysm = SlamSystem(cfg, enable_objects=False)
+    sysm = SlamSystem(cfg, enable_objects=args.detections is not None)
     timestamps, gt = [], []
     n = len(seq) if args.max_frames is None else min(len(seq), args.max_frames)
     for idx in range(n):
         gray, _depth, t, T_cw_gt = seq.load(idx)
-        sysm.track_mono(gray)
+        det = None
+        if args.detections:
+            from qsp_slam_tpu.data.io import load_detection_cache
+
+            p = os.path.join(args.detections, f"{idx}.npz")
+            if os.path.exists(p):
+                det = load_detection_cache(p)
+        sysm.track_mono(gray, det)
         timestamps.append(t)
         gt.append(T_cw_gt)
 
