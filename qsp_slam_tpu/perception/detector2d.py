@@ -234,6 +234,38 @@ def detect_objects(params, cfg: DetectorConfig, gray: jax.Array) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Weight persistence (mirrors detector3d's npz treatment; the reference
+# loads pretrained checkpoints via `Detector2D.weight_path`,
+# `reconstruct/detector2d.py:65-125`)
+# ---------------------------------------------------------------------------
+
+def save_detector2d(path: str, params, cfg: DetectorConfig) -> None:
+    np.savez(
+        path,
+        __cfg__=np.asarray(
+            [cfg.num_classes, cfg.stride, cfg.widths[0], cfg.widths[1],
+             cfg.widths[2], cfg.max_det, cfg.score_thr, cfg.input_hw[0],
+             cfg.input_hw[1]],
+            np.float64,
+        ),
+        **{k: np.asarray(v) for k, v in params.items()},
+    )
+
+
+def load_detector2d(path: str):
+    z = np.load(path)
+    c = z["__cfg__"]
+    cfg = DetectorConfig(
+        num_classes=int(c[0]), stride=int(c[1]),
+        widths=(int(c[2]), int(c[3]), int(c[4])),
+        max_det=int(c[5]), score_thr=float(c[6]),
+        input_hw=(int(c[7]), int(c[8])),
+    )
+    params = {k: jnp.asarray(z[k]) for k in z.files if k != "__cfg__"}
+    return params, cfg
+
+
+# ---------------------------------------------------------------------------
 # Training on the synthetic renderer's ground truth
 # ---------------------------------------------------------------------------
 

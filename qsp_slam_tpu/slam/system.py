@@ -85,6 +85,11 @@ class SlamSystem:
     # (`src/FrameDrawer.cc:1` role; consumed by viz.frame_draw / CLIs'
     # --save-frames).  Off by default: it adds one device->host transfer.
     keep_frame_info: bool = False
+    # Localization-only mode (`System::ActivateLocalizationMode`,
+    # `include/System.h:115` / `mbOnlyTracking`, `src/Tracking.cc:414`):
+    # track + relocalize against the FROZEN map — no keyframe insertion, no
+    # BA, no object updates, no loop-database growth, no auto-reset.
+    localization_only: bool = False
     map_state: MapState = field(init=False)
     loop_state: LoopState = field(init=False)
     loops_closed: int = 0
@@ -119,6 +124,50 @@ class SlamSystem:
         self._pending_gray = None
         self._sensor = "rgbd"
         self.last_frame_info = None
+        self._lost_streak = 0
+
+    # ------------------------------------------------------------------
+    def set_localization_mode(self, on: bool = True) -> None:
+        """Switch to/from localization-only tracking against the frozen map
+        (`System::ActivateLocalizationMode` / `DeactivateLocalizationMode`,
+        `include/System.h:115-118`).  While on, track_* never inserts
+        keyframes, never runs BA/objects/loop closing, and never auto-resets
+        — relocalization still works against the existing database."""
+        self.localization_only = bool(on)
+        if on:
+            # Entering with a stale motion model is the common failure.
+            self.velocity = np.eye(4, dtype=np.float32)
+
+    def reset(self) -> None:
+        """Drop ALL map/loop/object state and return to the uninitialized
+        state (`System::Reset` protocol, `src/Tracking.cc:1752-1798`).
+        Capacities are kept; the next tracked frame re-bootstraps.  Called
+        automatically when tracking is lost with <=5 keyframes
+        (`src/Tracking.cc:592-601`)."""
+        self.map_state = mapmod.empty_map(self.kmax, self.nmax, self.emax)
+        code_dim = self.shape_prior[1].code_dim if self.shape_prior else 16
+        self.objects = empty_objects(self.omax, code_dim=code_dim)
+        self.loop_state = empty_loop_state(self.kmax)
+        from ..perception.manhattan import empty_plane_set
+
+        self.plane_set = empty_plane_set(8)
+        self.relations = None
+        self.ground_plane = None
+        self._gp_count = 0
+        self._gp_inliers = 0
+        self.Tcw = np.eye(4, dtype=np.float32)
+        self.velocity = np.eye(4, dtype=np.float32)
+        self.initialized = False
+        self.frames_since_kf = 0
+        self.inliers_at_last_kf = 0
+        self._lost_streak = 0
+        self._kf_fresh = False
+        self._mono_ref = None
+        self._last_mono_frame = None
+        if hasattr(self, "_loop_gate"):
+            self._loop_gate.reset()
+        self.stats.setdefault("resets", 0)
+        self.stats["resets"] += 1
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray, depth, detections=None) -> np.ndarray:
@@ -181,6 +230,7 @@ class SlamSystem:
             bool(num_inliers >= cfg.min_track_inliers and consistent)
         )
         if num_inliers >= cfg.min_track_inliers and consistent:
+            self._lost_streak = 0
             self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
             self.Tcw = Tcw_new
             self.frames_since_kf += 1
@@ -189,7 +239,7 @@ class SlamSystem:
                 # reference-keyframe visibility for the ratio trigger.
                 self.inliers_at_last_kf = max(self.inliers_at_last_kf, num_inliers)
                 self._kf_fresh = False
-            if need_keyframe(
+            if not self.localization_only and need_keyframe(
                 self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg,
                 tracked_close=int(n_close_trk),
                 untracked_close=int(n_close_new),
@@ -199,6 +249,7 @@ class SlamSystem:
             # Lost: attempt relocalization against the keyframe database
             # (`Tracking::Relocalization` path); fall back to the constant-
             # velocity prediction if it fails.
+            self._lost_streak = getattr(self, "_lost_streak", 0) + 1
             relocated = False
             if self.enable_relocalization and int(self.loop_state.db.count) > 0:
                 from .relocalization import relocalize
@@ -211,9 +262,24 @@ class SlamSystem:
                     self.Tcw = np.asarray(r.Tcw)
                     self.velocity = np.eye(4, dtype=np.float32)
                     relocated = True
+                    self._lost_streak = 0
                     self.stats.setdefault("relocalizations", 0)
                     self.stats["relocalizations"] += 1
             if not relocated:
+                # Early-map reset (`src/Tracking.cc:592-601`): lost soon
+                # after initialization with nothing to relocalize against —
+                # the bootstrap is poisoned; discard the map and re-seed
+                # from THIS frame rather than coasting forever.
+                if (
+                    not self.localization_only
+                    and self._lost_streak >= 2
+                    and int(self.map_state.num_kfs) <= 5
+                ):
+                    self.reset()
+                    self._initialize(frame)
+                    self.stats["frames"] += 1
+                    self.trajectory.append(self.Tcw.copy())
+                    return self.Tcw
                 self.Tcw = np.asarray(Tcw_pred)
         self.stats["frames"] += 1
         self.trajectory.append(self.Tcw.copy())
