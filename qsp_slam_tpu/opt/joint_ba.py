@@ -25,7 +25,7 @@ from ..core import lie
 from ..core.camera import Intrinsics
 from . import robust
 from .reproj import ReprojEdges, edge_chi2, residuals_and_jacobians
-from .schur import build_normal_blocks, _inv3x3_spd
+from .schur import build_normal_blocks, _inv3x3_spd, solve_dense_pose_system
 
 OBJ_EDGE_INFO = 1e3  # information scale (reference: 1e3 * Identity)
 OBJ_EDGE_HUBER2 = 0.1 * 1e3  # delta^2 = 0.1 * 1e3
@@ -167,21 +167,8 @@ def joint_bundle_adjustment(
             rhs = rhs.at[ci].add(-jnp.einsum("eri,er->ei", JceW, ro))
             rhs = rhs.at[oi].add(-jnp.einsum("eri,er->ei", JoeW, ro))
 
-            # Fixed vertices: identity rows.
             fixed_v = jnp.concatenate([cam_fixed, obj_fixed])
-            fixed6 = jnp.repeat(fixed_v, 6)
-            Sf = S.reshape(V * 6, V * 6)
-            Sf = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, Sf)
-            Sf = Sf + jnp.diag(fixed6.astype(dtype))
-            rhs = rhs * (1.0 - fixed_v.astype(dtype))[:, None]
-
-            Sf = 0.5 * (Sf + Sf.T)
-            d = jnp.diagonal(Sf)
-            dinv = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
-            S_sc = Sf * dinv[:, None] * dinv[None, :]
-            chol, low = jax.scipy.linalg.cho_factor(S_sc, lower=True)
-            y = jax.scipy.linalg.cho_solve((chol, low), rhs.reshape(-1) * dinv)
-            delta = (y * dinv).reshape(V, 6)
+            delta = solve_dense_pose_system(S, rhs, fixed_v)
 
             dc = delta[:K]
             do = delta[K:]

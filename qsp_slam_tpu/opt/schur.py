@@ -175,6 +175,35 @@ def _inv3x3_spd(A: jax.Array, lm_lambda: jax.Array) -> jax.Array:
     return adj * inv_det[..., None, None]
 
 
+def solve_dense_pose_system(
+    S: jax.Array,  # (V, 6, V, 6) damped normal/Schur system over pose vertices
+    rhs: jax.Array,  # (V, 6)
+    fixed_v: jax.Array,  # (V,) bool
+) -> jax.Array:
+    """Dense solve over V stacked 6-DoF pose vertices -> delta (V, 6).
+
+    Fixed vertices get identity rows/columns and zero rhs; the system is
+    symmetrized (f32 einsum noise) and Jacobi-scaled to unit diagonal so the
+    f32 Cholesky survives the ~1e9 raw condition number of vision Hessians.
+    Shared by the joint camera-object solver (opt/joint_ba.py) and the
+    map-sharded joint global BA (parallel/map_sharded_ba.py).
+    """
+    V = S.shape[0]
+    dtype = S.dtype
+    fixed6 = jnp.repeat(fixed_v, 6)
+    Sf = S.reshape(V * 6, V * 6)
+    Sf = jnp.where(fixed6[:, None] | fixed6[None, :], 0.0, Sf)
+    Sf = Sf + jnp.diag(fixed6.astype(dtype))
+    rhs = rhs * (1.0 - fixed_v.astype(dtype))[:, None]
+    Sf = 0.5 * (Sf + Sf.T)
+    d = jnp.diagonal(Sf)
+    dinv = jax.lax.rsqrt(jnp.maximum(d, 1e-12))
+    S_sc = Sf * dinv[:, None] * dinv[None, :]
+    chol, low = jax.scipy.linalg.cho_factor(S_sc, lower=True)
+    y = jax.scipy.linalg.cho_solve((chol, low), rhs.reshape(-1) * dinv)
+    return (y * dinv).reshape(V, 6)
+
+
 def solve_reduced_camera(
     H_cc: jax.Array,  # (K, 6, 6) camera diagonal blocks (undamped)
     U: jax.Array,  # (K, 6, K, 6) sum_n B[n,k1] Y_n B[n,k2]^T

@@ -258,5 +258,186 @@ def map_sharded_ba(
     return T, p[:N_orig], cost
 
 
+def map_sharded_joint_ba(
+    mesh: Mesh,
+    Tcw: jax.Array,  # (K, 4, 4)
+    Tow: jax.Array,  # (O, 4, 4) object vertices (world->object)
+    points: jax.Array,  # (N, 3)
+    cam_fixed: jax.Array,  # (K,) bool
+    obj_fixed: jax.Array,  # (O,) bool
+    slots: SlotEdges,
+    obj_edges,  # opt.joint_ba.ObjectPoseEdges (replicated — O(objects) rows)
+    intr: Intrinsics,
+    baseline_fx: float = 0.0,
+    iters: int = 10,
+    axis: str = "map",
+    pre_padded: bool = False,
+):
+    """Joint camera-point-OBJECT LM with map points sharded over `mesh[axis]`.
+
+    The distributed form of `opt.joint_ba.joint_bundle_adjustment` (parity:
+    `Optimizer::GlobalJointBundleAdjustemnt`, `src/Optimizer_util.cc:36`,
+    dispatched post-loop by `RunGlobalJointBundleAdjustment`,
+    `src/LoopClosing_util.cc:295`): reprojection work and point
+    marginalization are local to each point shard; the camera-object
+    relative-pose edges (a few hundred rows at most) are evaluated
+    REPLICATED on every device and added to the reduced pose system AFTER
+    the one fused psum — identical values everywhere, so no extra
+    collective and no double counting.  Returns (Tcw, Tow, points, cost).
+    """
+    from ..opt.joint_ba import (
+        OBJ_EDGE_HUBER2,
+        OBJ_EDGE_INFO,
+        _obj_edge_residual,
+        _obj_edge_system,
+    )
+    from ..opt.schur import solve_dense_pose_system
+
+    K = Tcw.shape[0]
+    O = Tow.shape[0]
+    V = K + O
+    dtype = Tcw.dtype
+    N_orig = points.shape[0]
+    if not pre_padded:
+        points, slots = pad_points_for_mesh(points, slots, mesh.shape[axis])
+
+    rep = P()
+    shd = P(axis)
+    slot_specs = SlotEdges(shd, shd, shd, shd, shd)
+    oe_specs = type(obj_edges)(rep, rep, rep, rep)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(rep, rep, shd, rep, rep, slot_specs, oe_specs),
+        out_specs=(rep, rep, shd, rep),
+        check_vma=False,
+    )
+    def run(Tcw0, Tow0, pts0, cfix, ofix, s, oe):
+        n, S_slots = s.kf.shape
+        free_c = 1.0 - cfix.astype(dtype)
+        free_o = 1.0 - ofix.astype(dtype)
+        z6 = jnp.zeros(6, dtype)
+
+        e = ReprojEdges(
+            kf_idx=s.kf.reshape(-1),
+            pt_idx=jnp.repeat(jnp.arange(n, dtype=jnp.int32), S_slots),
+            uv=s.uv.reshape(-1, 2),
+            u_right=s.u_right.reshape(-1),
+            inv_sigma2=s.inv_sigma2.reshape(-1),
+            valid=s.valid.reshape(-1),
+        )
+        d2 = jnp.where(e.is_stereo, robust.CHI2_STEREO, robust.CHI2_MONO)
+        onehot_k = jax.nn.one_hot(s.kf, K, dtype=dtype)  # (n, S, K)
+
+        def obj_cost(T, Tw):
+            ro = jax.vmap(
+                lambda ci, oi, M: _obj_edge_residual(z6, z6, T[ci], Tw[oi], M)
+            )(oe.cam_idx, oe.obj_idx, oe.T_oc)
+            chio = jnp.sum(ro * ro, axis=-1) * OBJ_EDGE_INFO
+            c = robust.huber_rho(chio, OBJ_EDGE_HUBER2)
+            return jnp.sum(jnp.where(oe.valid, c, 0.0))
+
+        def cost_at(T, Tw, p):
+            r, _, _, row_mask, _ = residuals_and_jacobians(
+                T, p, e, intr, baseline_fx
+            )
+            chi2 = jnp.sum(r * r * row_mask, axis=-1) * e.inv_sigma2
+            c = robust.huber_rho(chi2, d2)
+            local = jnp.sum(jnp.where(row_mask[..., 0] > 0, c, 0.0))
+            # Point cost is sharded (psum); object cost is replicated (not).
+            return jax.lax.psum(local, axis) + obj_cost(T, Tw)
+
+        def body(carry, _):
+            T, Tw, p, lmbda, cost = carry
+            r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
+                T, p, e, intr, baseline_fx
+            )
+            chi2 = jnp.sum(r * r * row_mask, axis=-1) * e.inv_sigma2
+            w_edge = robust.huber_weight(chi2, d2)
+            w = (row_mask * (e.inv_sigma2 * w_edge)[:, None]).reshape(n, S_slots, 3)
+            r_s = r.reshape(n, S_slots, 3)
+            Jc_s = Jc.reshape(n, S_slots, 3, 6) * free_c[s.kf][..., None, None]
+            Jp_s = Jp.reshape(n, S_slots, 3, 3)
+            JcW = Jc_s * w[..., None]
+            JpW = Jp_s * w[..., None]
+
+            H_cc = jnp.einsum("nsra,nsrb,nsk->kab", JcW, Jc_s, onehot_k)
+            b_c = -jnp.einsum("nsra,nsr,nsk->ka", JcW, r_s, onehot_k)
+            H_pp = jnp.einsum("nsra,nsrb->nab", JpW, Jp_s)
+            b_p = -jnp.einsum("nsra,nsr->na", JpW, r_s)
+            B = jnp.einsum("nsra,nsrb,nsk->nkab", JcW, Jp_s, onehot_k)
+
+            Y = _inv3x3_spd(H_pp, lmbda)
+            A = jnp.einsum("nkac,ncd->nkad", B, Y)
+            U = jnp.einsum("nkad,nqbd->kaqb", A, B)
+            Yb = jnp.einsum("nab,nb->na", Y, b_p)
+            rhs_c = b_c - jnp.einsum("nkac,nc->ka", B, Yb)
+
+            # ONE fused psum of the point-marginalized camera system.
+            H_cc, U, rhs_c = jax.lax.psum((H_cc, U, rhs_c), axis)
+
+            # Camera-object edges: replicated evaluation, added ONCE.
+            ro, Jce, Joe = jax.vmap(
+                lambda ci, oi, M: _obj_edge_system(T[ci], Tw[oi], M, 1.0)
+            )(oe.cam_idx, oe.obj_idx, oe.T_oc)
+            chio = jnp.sum(ro * ro, axis=-1) * OBJ_EDGE_INFO
+            wo = robust.huber_weight(chio, OBJ_EDGE_HUBER2)
+            wo = wo * OBJ_EDGE_INFO * oe.valid.astype(dtype)
+            Jce = Jce * free_c[oe.cam_idx][:, None, None]
+            Joe = Joe * free_o[oe.obj_idx][:, None, None]
+            JceW = Jce * wo[:, None, None]
+            JoeW = Joe * wo[:, None, None]
+
+            eye6 = jnp.eye(6, dtype=dtype)
+            H_cc_d = H_cc + lmbda * H_cc * eye6
+            Sv = jnp.zeros((V, 6, V, 6), dtype)
+            idxK = jnp.arange(K)
+            Sv = Sv.at[:K, :, :K, :].add(-U)
+            Sv = Sv.at[idxK, :, idxK, :].add(H_cc_d)
+            ci = oe.cam_idx
+            oi = K + oe.obj_idx
+            Sv = Sv.at[ci, :, ci, :].add(jnp.einsum("eri,erj->eij", JceW, Jce))
+            Sv = Sv.at[oi, :, oi, :].add(jnp.einsum("eri,erj->eij", JoeW, Joe))
+            Sv = Sv.at[ci, :, oi, :].add(jnp.einsum("eri,erj->eij", JceW, Joe))
+            Sv = Sv.at[oi, :, ci, :].add(jnp.einsum("eri,erj->eij", JoeW, Jce))
+            idxO = K + jnp.arange(O)
+            diagO = Sv[idxO, :, idxO, :]
+            Sv = Sv.at[idxO, :, idxO, :].add(lmbda * diagO * eye6)
+
+            rhs_v = jnp.zeros((V, 6), dtype)
+            rhs_v = rhs_v.at[:K].add(rhs_c)
+            rhs_v = rhs_v.at[ci].add(-jnp.einsum("eri,er->ei", JceW, ro))
+            rhs_v = rhs_v.at[oi].add(-jnp.einsum("eri,er->ei", JoeW, ro))
+
+            fixed_v = jnp.concatenate([cfix, ofix])
+            delta = solve_dense_pose_system(Sv, rhs_v, fixed_v)
+            dc, do = delta[:K], delta[K:]
+
+            Bt_dc = jnp.einsum("nkac,ka->nc", B, dc)
+            delta_p = jnp.einsum("nab,nb->na", Y, b_p - Bt_dc)
+
+            T_try = lie.exp_se3(dc) @ T
+            Tw_try = lie.exp_se3(do) @ Tw
+            p_try = p + delta_p
+            new_cost = cost_at(T_try, Tw_try, p_try)
+            accept = new_cost < cost
+            return (
+                jnp.where(accept, T_try, T),
+                jnp.where(accept, Tw_try, Tw),
+                jnp.where(accept, p_try, p),
+                jnp.clip(jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6),
+                jnp.where(accept, new_cost, cost),
+            ), None
+
+        cost0 = cost_at(Tcw0, Tow0, pts0)
+        init = (Tcw0, Tow0, pts0, jnp.asarray(1e-3, dtype), cost0)
+        (T, Tw, p, _, cost), _ = jax.lax.scan(body, init, None, length=iters)
+        return T, Tw, p, cost
+
+    T, Tw, p, cost = run(Tcw, Tow, points, cam_fixed, obj_fixed, slots, obj_edges)
+    return T, Tw, p[:N_orig], cost
+
+
 def make_map_mesh(num_devices: int | None = None, axis: str = "map") -> Mesh:
     return make_mesh(num_devices, axis)

@@ -34,6 +34,16 @@ def main(argv=None):
         "--lidar-detections and seeds objects from the predicted 3D boxes",
     )
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="run post-loop / final global BA point-sharded over an N-device "
+        "mesh (requires N visible devices; see parallel.mesh)",
+    )
+    ap.add_argument(
+        "--global-ba", action="store_true",
+        help="run one full-map optimization pass after the sequence "
+        "(joint with objects in stereo mode; uses --mesh when given)",
+    )
     ap.add_argument("--kmax", type=int, default=128)
     ap.add_argument("--nmax", type=int, default=16384)
     ap.add_argument("--emax", type=int, default=131072)
@@ -70,7 +80,14 @@ def main(argv=None):
         baseline=seq.baseline,
         depth_max=60.0,
     )
-    sysm = SlamSystem(cfg, kmax=args.kmax, nmax=args.nmax, emax=args.emax)
+    mesh = None
+    if args.mesh:
+        from qsp_slam_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh, axis="map")
+    sysm = SlamSystem(
+        cfg, kmax=args.kmax, nmax=args.nmax, emax=args.emax, mesh=mesh
+    )
 
     d3d = None
     if args.detector3d:
@@ -107,7 +124,13 @@ def main(argv=None):
         if (idx + 1) % 50 == 0:
             print(f"[{idx + 1}/{n}] kfs={sysm.stats['keyframes']}", file=sys.stderr)
 
+    if args.global_ba:
+        sysm.run_global_ba()
+        out_extra = {"global_ba": True}
+    else:
+        out_extra = {}
     out = sysm.summary()
+    out.update(out_extra)
     est = np.stack(sysm.trajectory)
     if seq.poses is not None:
         gt_Tcw = np.stack([np.linalg.inv(T) for T in seq.poses[:n]])
@@ -115,6 +138,16 @@ def main(argv=None):
         from qsp_slam_tpu.eval.ate import rpe
 
         out.update(rpe(est, gt_Tcw))
+        # Keyframe-trajectory ATE: reflects loop-closure / global-BA
+        # corrections, which the frozen per-frame history does not.
+        kf_frames = sysm.stats.get("kf_frames", [])
+        n_kf = int(np.asarray(sysm.map_state.num_kfs))
+        if len(kf_frames) >= 2 and len(kf_frames) == n_kf:
+            live = np.asarray(sysm.map_state.kf_valid[:n_kf])
+            kf_est = np.asarray(sysm.map_state.kf_Tcw[:n_kf])[live]
+            kf_gt = gt_Tcw[np.asarray(kf_frames)[live]]
+            if len(kf_est) >= 2:
+                out["kf_ate_rmse_m"] = ate_rmse(kf_est, kf_gt)
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         save_trajectory_kitti(os.path.join(args.save_dir, "trajectory.txt"), est)

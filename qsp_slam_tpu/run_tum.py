@@ -39,6 +39,16 @@ def main(argv=None):
     )
     ap.add_argument("--frame-every", type=int, default=10)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--mesh", type=int, default=None, metavar="N",
+        help="run post-loop / final global BA point-sharded over an N-device "
+        "mesh (requires N visible devices; see parallel.mesh)",
+    )
+    ap.add_argument(
+        "--global-ba", action="store_true",
+        help="run one full-map optimization pass after the sequence "
+        "(the reference's final-refinement role; uses --mesh when given)",
+    )
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -71,9 +81,16 @@ def main(argv=None):
 
         detector = load_detector2d(args.detector)
 
+    mesh = None
+    if args.mesh:
+        from qsp_slam_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(args.mesh, axis="map")
+
     seq = TumSequence(args.sequence)
     sysm = SlamSystem(
-        cfg, keep_frame_info=args.save_frames is not None, detector=detector
+        cfg, keep_frame_info=args.save_frames is not None, detector=detector,
+        mesh=mesh,
     )
     timestamps = []
     gt = []
@@ -113,13 +130,31 @@ def main(argv=None):
                 file=sys.stderr,
             )
 
+    if args.global_ba:
+        sysm.run_global_ba()
+        out_extra = {"global_ba": True}
+    else:
+        out_extra = {}
     out = sysm.summary()
+    out.update(out_extra)
     est = np.stack(sysm.trajectory)
     if all(g is not None for g in gt) and gt:
-        out["ate_rmse_m"] = ate_rmse(est, np.stack(gt))
+        gt_arr = np.stack(gt)
+        out["ate_rmse_m"] = ate_rmse(est, gt_arr)
         from qsp_slam_tpu.eval.ate import rpe
 
-        out.update(rpe(est, np.stack(gt)))
+        out.update(rpe(est, gt_arr))
+        # Keyframe-trajectory ATE: reflects loop-closure / global-BA
+        # corrections, which the frozen per-frame history above does not
+        # (the reference's `SaveKeyFrameTrajectoryTUM` role).
+        kf_frames = sysm.stats.get("kf_frames", [])
+        n_kf = int(np.asarray(sysm.map_state.num_kfs))
+        if len(kf_frames) >= 2 and len(kf_frames) == n_kf:
+            live = np.asarray(sysm.map_state.kf_valid[:n_kf])
+            kf_est = np.asarray(sysm.map_state.kf_Tcw[:n_kf])[live]
+            kf_gt = gt_arr[np.asarray(kf_frames)[live]]
+            if len(kf_est) >= 2:
+                out["kf_ate_rmse_m"] = ate_rmse(kf_est, kf_gt)
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         save_trajectory_tum(

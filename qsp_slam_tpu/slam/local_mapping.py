@@ -140,7 +140,7 @@ def local_ba_step(
     return m
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "iters"))
 def global_ba_step(m: MapState, cfg: TrackingConfig, iters: int = 10) -> MapState:
     """Whole-map BA (parity: `RunGlobalJointBundleAdjustment` after a loop,
     `src/LoopClosing_util.cc:295`, 10 iterations; gauge anchored at KF 0)."""

@@ -16,6 +16,7 @@ from typing import Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
 from ..core import lie
 from ..perception.ellipsoid_fit import fit_ellipsoid_depth
@@ -90,6 +91,12 @@ class SlamSystem:
     # track + relocalize against the FROZEN map — no keyframe insertion, no
     # BA, no object updates, no loop-database growth, no auto-reset.
     localization_only: bool = False
+    # Device mesh for the distributed global-BA path (`jax.sharding.Mesh`,
+    # 1-D).  With >1 device, the post-loop global (joint) BA and
+    # `run_global_ba` solve the whole-map problem point-sharded over the
+    # mesh (`slam/distributed_mapping.py`); on one device (or None) they
+    # use the single-device programs.  Build with `parallel.mesh.make_mesh`.
+    mesh: Optional[Mesh] = None
     map_state: MapState = field(init=False)
     loop_state: LoopState = field(init=False)
     loops_closed: int = 0
@@ -166,6 +173,7 @@ class SlamSystem:
         self._last_mono_frame = None
         if hasattr(self, "_loop_gate"):
             self._loop_gate.reset()
+        self.stats["kf_frames"] = []
         self.stats.setdefault("resets", 0)
         self.stats["resets"] += 1
 
@@ -355,6 +363,7 @@ class SlamSystem:
         self.inliers_at_last_kf = int(jnp.sum(frame.depth > 0))
         self.frames_since_kf = 0
         self.stats["keyframes"] += 1
+        self.stats.setdefault("kf_frames", []).append(len(self.trajectory))
         if self.enable_objects and (
             self._pending_detections is not None
             or self._pending_gray is not None
@@ -395,6 +404,7 @@ class SlamSystem:
         self.inliers_at_last_kf = int(res.num_inliers)
         self._kf_fresh = True
         self.stats["keyframes"] += 1
+        self.stats.setdefault("kf_frames", []).append(len(self.trajectory))
         if self.enable_objects and (
             self._pending_detections is not None
             or self._pending_gray is not None
@@ -465,12 +475,40 @@ class SlamSystem:
             # pose measurements runs the JOINT variant — object vertices
             # join the full-map problem, as in the reference
             # (`src/LoopClosing_util.cc:295`, `GlobalJointBundleAdjustemnt`).
-            joint = (
-                self._sensor == "stereo"
-                and self.enable_objects
-                and int((self.objects.pm_kf >= 0).sum()) >= 2
-            )
-            if joint:
+            self._dispatch_global_ba()
+            self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
+            self.velocity = np.eye(4, dtype=np.float32)
+            self.loops_closed += 1
+
+    # ------------------------------------------------------------------
+    def _multi_device(self) -> bool:
+        return self.mesh is not None and self.mesh.devices.size > 1
+
+    def _dispatch_global_ba(self, iters: int = 10) -> None:
+        """Whole-map BA: joint (camera-point-object) when stereo object
+        measurements exist, point-only otherwise; routed through the
+        map-sharded solvers when a multi-device mesh is configured.
+
+        Parity: `RunGlobalBundleAdjustment` (`src/LoopClosing.cc:655`) /
+        `RunGlobalJointBundleAdjustment` (`src/LoopClosing_util.cc:295`).
+        """
+        cfg = self.cfg
+        joint = (
+            self._sensor == "stereo"
+            and self.enable_objects
+            and int((self.objects.pm_kf >= 0).sum()) >= 2
+        )
+        if joint:
+            if self._multi_device():
+                from .distributed_mapping import global_joint_ba_sharded
+
+                self.map_state, self.objects = jax.block_until_ready(
+                    global_joint_ba_sharded(
+                        self.map_state, self.objects, cfg, self.mesh,
+                        iters=iters,
+                    )
+                )
+            else:
                 from .joint_mapping import joint_ba_step
 
                 self.map_state, self.objects = jax.block_until_ready(
@@ -478,15 +516,31 @@ class SlamSystem:
                         self.map_state, self.objects, cfg, window=self.kmax
                     )
                 )
+        else:
+            if self._multi_device():
+                from .distributed_mapping import global_ba_sharded
+
+                self.map_state = jax.block_until_ready(
+                    global_ba_sharded(self.map_state, cfg, self.mesh, iters=iters)
+                )
             else:
                 from .local_mapping import global_ba_step
 
                 self.map_state = jax.block_until_ready(
-                    global_ba_step(self.map_state, cfg)
+                    global_ba_step(self.map_state, cfg, iters=iters)
                 )
-            self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
-            self.velocity = np.eye(4, dtype=np.float32)
-            self.loops_closed += 1
+
+    def run_global_ba(self, iters: int = 10) -> None:
+        """Opt-in full-map optimization (all keyframes + points; object
+        vertices too when stereo measurements exist), outside of loop
+        closure — e.g. as a final refinement pass before saving a map.
+        Uses the distributed solvers when the system has a >1-device mesh."""
+        if int(self.map_state.num_kfs) < 2:
+            return
+        self._dispatch_global_ba(iters=iters)
+        kf_id = int(self.map_state.num_kfs) - 1
+        self.Tcw = np.asarray(self.map_state.kf_Tcw[kf_id])
+        self.velocity = np.eye(4, dtype=np.float32)
 
     # ------------------------------------------------------------------
     def _process_objects(self, detections, depth, frame=None):
@@ -862,6 +916,9 @@ class SlamSystem:
         self.inliers_at_last_kf = int(jnp.sum(init.pt_ok))
         self.frames_since_kf = 0
         self.stats["keyframes"] += 2
+        kf_fr = self.stats.setdefault("kf_frames", [])
+        kf_fr.append(max(len(self.trajectory) - self._mono_ref_age, 0))
+        kf_fr.append(len(self.trajectory))
         # Snapshot BOTH bootstrap keyframes — snapshot slots must stay
         # aligned with keyframe ids (slot k <-> KF k).
         self._loop_closing(self._mono_ref, 0)
@@ -913,6 +970,7 @@ class SlamSystem:
         self.inliers_at_last_kf = int(res.num_inliers)
         self._kf_fresh = True
         self.stats["keyframes"] += 1
+        self.stats.setdefault("kf_frames", []).append(len(self.trajectory))
         if self.enable_objects and self._pending_detections is not None:
             t0 = time.perf_counter()
             self._process_objects_mono(self._pending_detections)
