@@ -67,6 +67,51 @@ def pixel_rays(uv: jax.Array, intr: Intrinsics) -> jax.Array:
     return jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
 
 
+def _distort_delta(x: jax.Array, y: jax.Array, dist) -> tuple:
+    """Radial scale + tangential offsets of the Brown-Conrady model at
+    normalized coords (k1, k2, p1, p2, k3 — the reference's `mDistCoef`
+    layout, `src/Frame.cc:63`)."""
+    k1, k2, p1, p2, k3 = (jnp.float32(c) for c in dist)
+    r2 = x * x + y * y
+    radial = 1.0 + r2 * (k1 + r2 * (k2 + r2 * k3))
+    tx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    ty = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return radial, tx, ty
+
+
+def distort_points(uv: jax.Array, intr: Intrinsics, dist) -> jax.Array:
+    """Ideal pinhole pixels (..., 2) -> distorted pixels (forward model)."""
+    x = (uv[..., 0] - intr.cx) / intr.fx
+    y = (uv[..., 1] - intr.cy) / intr.fy
+    radial, tx, ty = _distort_delta(x, y, dist)
+    xd = x * radial + tx
+    yd = y * radial + ty
+    return jnp.stack([intr.fx * xd + intr.cx, intr.fy * yd + intr.cy], axis=-1)
+
+
+def undistort_points(
+    uv: jax.Array, intr: Intrinsics, dist, iters: int = 8
+) -> jax.Array:
+    """Distorted pixels (..., 2) -> ideal pinhole pixels.
+
+    Parity: `Frame::UndistortKeyPoints` (`/root/reference/src/Frame.cc:89`,
+    cv::undistortPoints) — the standard fixed-point inverse of the
+    Brown-Conrady model: x <- (x_d - tangential(x)) / radial(x), iterated
+    (vectorized over all keypoints; `iters` is static so the loop unrolls
+    into one fused program).  Accurate to <1e-3 px for TUM-fr1-level
+    distortion (|k1| ~ 0.26).
+    """
+    xd = (uv[..., 0] - intr.cx) / intr.fx
+    yd = (uv[..., 1] - intr.cy) / intr.fy
+    x, y = xd, yd
+    for _ in range(iters):
+        radial, tx, ty = _distort_delta(x, y, dist)
+        r_safe = jnp.where(jnp.abs(radial) < 1e-6, 1e-6, radial)
+        x = (xd - tx) / r_safe
+        y = (yd - ty) / r_safe
+    return jnp.stack([intr.fx * x + intr.cx, intr.fy * y + intr.cy], axis=-1)
+
+
 def projection_matrix(T_cw: jax.Array, intr: Intrinsics) -> jax.Array:
     """P = K [R|t] from a world->camera transform (..., 4, 4) -> (..., 3, 4).
 

@@ -51,6 +51,7 @@ def make_sequence(
     seed: int = 1,
     with_detections: bool = False,
     fps: float = 30.0,
+    distort: tuple | None = None,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -61,6 +62,57 @@ def make_sequence(
     from .tum import DEPTH_SCALE
 
     cfg = TrackingConfig()
+
+    warp = None
+    if distort is not None and any(c != 0.0 for c in distort):
+        # Lens simulation: the distorted camera observes ray u at pixel
+        # distort(u), so I_d(p) = I_ideal(undistort(p)) — gray bilinear,
+        # depth nearest (depth must not blend across edges).  A calib YAML
+        # with the matching Camera.k* keys is written alongside so
+        # `run_tum --config calib.yaml` exercises the undistortion path
+        # (`Frame::UndistortKeyPoints` parity, `src/Frame.cc:89`).
+        from ..core.camera import undistort_points
+
+        H, W = cfg.height, cfg.width
+        gy, gx = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        grid = jnp.stack([gx.ravel(), gy.ravel()], -1)
+        src = undistort_points(grid, cfg.intr, distort)
+        sx, sy = src[:, 0], src[:, 1]
+        inside = (sx >= 0) & (sx <= W - 1) & (sy >= 0) & (sy <= H - 1)
+        x0 = jnp.clip(jnp.floor(sx).astype(jnp.int32), 0, W - 2)
+        y0 = jnp.clip(jnp.floor(sy).astype(jnp.int32), 0, H - 2)
+        fx_ = jnp.clip(sx - x0, 0.0, 1.0)
+        fy_ = jnp.clip(sy - y0, 0.0, 1.0)
+        xn = jnp.clip(jnp.round(sx).astype(jnp.int32), 0, W - 1)
+        yn = jnp.clip(jnp.round(sy).astype(jnp.int32), 0, H - 1)
+
+        @jax.jit
+        def warp(gray, depth):
+            g = (
+                gray[y0, x0] * (1 - fx_) * (1 - fy_)
+                + gray[y0, x0 + 1] * fx_ * (1 - fy_)
+                + gray[y0 + 1, x0] * (1 - fx_) * fy_
+                + gray[y0 + 1, x0 + 1] * fx_ * fy_
+            )
+            d = depth[yn, xn]
+            g = jnp.where(inside, g, 0.0).reshape(H, W)
+            d = jnp.where(inside, d, 0.0).reshape(H, W)
+            return g, d
+
+        k1, k2, p1, p2, k3 = (float(c) for c in distort)
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, "calib.yaml"), "w") as f:
+            f.write(
+                "# fabricated sequence calibration (with lens distortion)\n"
+                f"Camera.fx: {cfg.fx}\nCamera.fy: {cfg.fy}\n"
+                f"Camera.cx: {cfg.cx}\nCamera.cy: {cfg.cy}\n"
+                f"Camera.width: {cfg.width}\nCamera.height: {cfg.height}\n"
+                f"Camera.k1: {k1}\nCamera.k2: {k2}\n"
+                f"Camera.p1: {p1}\nCamera.p2: {p2}\nCamera.k3: {k3}\n"
+            )
     scene = make_scene(num_objects=max(num_objects, 1), seed=seed)
     if num_objects == 0:
         scene = scene._replace(ellipsoids=scene.ellipsoids[:0],
@@ -79,6 +131,8 @@ def make_sequence(
     for i in range(num_frames):
         t = i / fps
         gray, depth, inst = render(jnp.asarray(traj[i]))
+        if warp is not None:
+            gray, depth = warp(gray, depth)
         g8 = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
         d16 = np.clip(np.asarray(depth) * DEPTH_SCALE, 0, 65535).astype(np.uint16)
         rgb_rel = f"rgb/{t:.6f}.png"
@@ -120,15 +174,24 @@ def main(argv=None):
     ap.add_argument("--pitch", type=float, default=0.35)
     ap.add_argument("--seed", type=int, default=1)
     ap.add_argument("--detections", action="store_true")
+    ap.add_argument(
+        "--distort", default=None, metavar="K1,K2,P1,P2,K3",
+        help="simulate lens distortion (comma-separated Brown-Conrady "
+        "coefficients); writes a matching calib.yaml for run_tum --config",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    dist = None
+    if args.distort:
+        dist = tuple(float(x) for x in args.distort.split(","))
+        assert len(dist) == 5, "--distort needs 5 coefficients"
     make_sequence(
         args.out_dir, args.frames, args.objects, args.step, args.pitch,
-        args.seed, args.detections,
+        args.seed, args.detections, distort=dist,
     )
     print(f"wrote {args.frames} frames to {args.out_dir}")
 

@@ -314,6 +314,8 @@ def render_scene(
         )
         depth_bg = jnp.where(slab_hit, t_slab, depth_bg)
 
+    if scene.ellipsoids.shape[0] == 0:  # object-free scene: background only
+        return gray_bg, depth_bg, jnp.full(gray_bg.shape, -1, jnp.int32)
     ts, gs = jax.vmap(one_obj)(
         scene.ellipsoids, scene.albedo, scene.labels
     )  # (O, H, W)

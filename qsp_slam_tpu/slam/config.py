@@ -29,6 +29,11 @@ _YAML_KEYS = {
     "Camera.width": "width",
     "Camera.height": "height",
     "Camera.bf": None,  # handled: bf = baseline * fx
+    "Camera.k1": None,  # handled: dist_coef = (k1, k2, p1, p2, k3)
+    "Camera.k2": None,
+    "Camera.p1": None,
+    "Camera.p2": None,
+    "Camera.k3": None,
     "ThDepth": None,
     "DepthMapFactor": None,
     "ORBextractor.nFeatures": ("orb", "num_features"),
@@ -74,6 +79,12 @@ def tracking_config_from_yaml(path: str, **overrides: Any) -> TrackingConfig:
             flat[target] = val
     if "Camera.bf" in raw and "Camera.fx" in raw:
         flat["baseline"] = float(raw["Camera.bf"]) / float(raw["Camera.fx"])
+    if any(f"Camera.{k}" in raw for k in ("k1", "k2", "p1", "p2", "k3")):
+        # DistCoef (`mDistCoef` layout): lens distortion, undistorted at
+        # feature extraction (`Frame::UndistortKeyPoints`, `src/Frame.cc:89`).
+        flat["dist_coef"] = tuple(
+            float(raw.get(f"Camera.{k}", 0.0)) for k in ("k1", "k2", "p1", "p2", "k3")
+        )
     if "Camera.width" in raw:
         flat["width"] = int(raw["Camera.width"])
     if "Camera.height" in raw:

@@ -54,6 +54,13 @@ class TrackingConfig(NamedTuple):
     # the baseline (reference ThDepth semantics: 40 x 0.08 m = 3.2 m on TUM,
     # 40 x 0.54 m = 21.6 m on KITTI; `src/Tracking.cc:1129-1135`).
     close_depth_factor: float = 40.0
+    # Radial-tangential lens distortion (k1, k2, p1, p2, k3) — the
+    # reference's `mDistCoef` (`src/Frame.cc:63`, YAML `Camera.k1..k3`).
+    # Features are extracted on the DISTORTED image (and depth sampled at
+    # the raw pixel), then keypoint coordinates are undistorted once at
+    # extraction; all downstream geometry stays pure pinhole, exactly like
+    # `Frame::UndistortKeyPoints` (`src/Frame.cc:89`).  All-zero = off.
+    dist_coef: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)
 
     @property
     def intr(self) -> Intrinsics:
@@ -96,11 +103,23 @@ class TrackResult(NamedTuple):
 def process_frame(gray: jax.Array, depth_img: jax.Array, cfg: TrackingConfig) -> FrameData:
     """Extract ORB features and per-keypoint depth (RGB-D frame constructor)."""
     feats = extract_features(gray, cfg.orb)
+    # Depth is sampled at the RAW (distorted-image) pixel — the depth map is
+    # registered to the same distorted lens as the gray image.
     xi = jnp.clip(jnp.round(feats.xy[:, 0]).astype(jnp.int32), 0, cfg.width - 1)
     yi = jnp.clip(jnp.round(feats.xy[:, 1]).astype(jnp.int32), 0, cfg.height - 1)
     d = depth_img[yi, xi]
     ok = (d > cfg.depth_min) & (d < cfg.depth_max) & feats.valid
     d = jnp.where(ok, d, 0.0)
+    if any(c != 0.0 for c in cfg.dist_coef):
+        # Keypoint undistortion (`Frame::UndistortKeyPoints`,
+        # `src/Frame.cc:89`): geometry downstream is pure pinhole.
+        from ..core.camera import undistort_points
+
+        feats = feats._replace(
+            xy=undistort_points(feats.xy, cfg.intr, cfg.dist_coef)
+        )
+    # u_right from the UNDISTORTED u (reference: mvuRight is computed from
+    # mvKeysUn, `Frame::ComputeStereoFromRGBD`, `src/Frame.cc`).
     u_right = jnp.where(ok, feats.xy[:, 0] - cfg.bf / jnp.where(ok, d, 1.0), -1.0)
     return FrameData(feats=feats, depth=d, u_right=u_right)
 
