@@ -31,6 +31,32 @@ TR_VELO_TO_CAM = np.array(
 CAM_HEIGHT = 1.65  # camera above the road, as the KITTI rig
 
 
+def _circuit_pose(s: float, straight: float, r: float):
+    """Arc-length -> ((x, z), yaw) on a rounded-square circuit.
+
+    Four straights of length `straight` joined by quarter-circle corners of
+    radius `r`, centered at the origin; the drive returns exactly to its
+    start (the KITTI-00-style loop-closure geometry).
+    """
+    quad = straight + 0.5 * np.pi * r
+    q = int(s // quad) % 4
+    u = s - (s // quad) * quad
+    h = straight / 2.0 + r
+    if u < straight:
+        pos = np.array([-h, u - straight / 2.0])
+        heading = 0.0
+    else:
+        a = (u - straight) / r
+        c = np.array([-h + r, straight / 2.0])
+        pos = c + r * np.array([-np.cos(a), np.sin(a)])
+        heading = a
+    th = -q * np.pi / 2.0
+    ct, st = np.cos(th), np.sin(th)
+    x, z = pos
+    pos = np.array([x * ct - z * st, x * st + z * ct])
+    return pos, heading + q * np.pi / 2.0
+
+
 def make_kitti_sequence(
     out_dir: str,
     num_frames: int = 60,
@@ -42,6 +68,8 @@ def make_kitti_sequence(
     seed: int = 2,
     poses_out: str | None = None,
     velo_stride: int = 2,
+    loop: bool = False,
+    loop_overlap: int = 80,
 ) -> None:
     import jax
     import jax.numpy as jnp
@@ -56,29 +84,62 @@ def make_kitti_sequence(
         jnp.float32(fx), jnp.float32(fx),
         jnp.float32(width / 2.0), jnp.float32(height / 2.0),
     )
-    # "Road" scene: a wide long room whose floor is CAM_HEIGHT below the
-    # trajectory; car-sized ellipsoids rest on it ALONG the drive (within
-    # detector range of the moving camera, not bunched at the room center).
-    room_half = (16.0, 4.0, 0.6 * num_frames * step + 30.0)
-    z_start = -room_half[2] + 6.0
-    scene = make_scene(
-        num_objects=num_cars,
-        seed=seed,
-        half_extent=room_half,
-        half_range=((1.7, 0.65, 0.8), (2.3, 0.85, 1.0)),
-        z_range=(z_start + 10.0, z_start + 14.0 + num_frames * step + 18.0),
-        # Driving viewing distances (10-40 m): keep texels >= a pixel so the
-        # texture is trackable structure, not per-frame aliasing shimmer.
-        tex_period=80.0,
-    )
-    # Keep the ego lane clear: shove any car straddling |x| < 3 m sideways
-    # (driving through an ellipsoid makes it vanish from the raycast).
-    e = np.array(scene.ellipsoids)
-    lane = np.abs(e[:, 0]) < 3.0
-    e[lane, 0] = np.sign(e[lane, 0] + 1e-3) * (3.2 + np.abs(e[lane, 0]))
     import jax.numpy as _jnp
 
-    scene = scene._replace(ellipsoids=_jnp.asarray(e))
+    corner_r = 10.0
+    if loop:
+        # Rounded-square circuit returning to its start (KITTI-00 geometry);
+        # the last `loop_overlap` frames re-drive the first stretch so the
+        # revisit gives place recognition several consistent keyframes.
+        perimeter = max(num_frames - loop_overlap, num_frames // 2) * step
+        straight = max((perimeter - 2.0 * np.pi * corner_r) / 4.0, 10.0)
+        half_span = straight / 2.0 + corner_r
+        room_half = (half_span + 30.0, 4.0, half_span + 30.0)
+        scene = make_scene(
+            num_objects=num_cars,
+            seed=seed,
+            half_extent=room_half,
+            half_range=((1.7, 0.65, 0.8), (2.3, 0.85, 1.0)),
+            tex_period=80.0,
+        )
+        # Re-place the cars along the circuit: random arc position, lateral
+        # offset 5-9 m off the centerline (either side), resting on floor.
+        rng0 = np.random.default_rng(seed + 7)
+        e = np.array(scene.ellipsoids)
+        for i in range(len(e)):
+            s = rng0.uniform(0.0, perimeter)
+            pos, heading = _circuit_pose(s, straight, corner_r)
+            fwd = np.array([np.sin(heading), np.cos(heading)])
+            left = np.array([fwd[1], -fwd[0]])
+            off = rng0.uniform(5.0, 9.0) * rng0.choice([-1.0, 1.0])
+            e[i, 0] = pos[0] + left[0] * off
+            e[i, 2] = pos[1] + left[1] * off
+            e[i, 1] = room_half[1] - e[i, 7]  # rest on floor (y down)
+            e[i, 4] = heading + rng0.uniform(-0.3, 0.3)
+        scene = scene._replace(ellipsoids=_jnp.asarray(e.astype(np.float32)))
+    else:
+        # "Road" scene: a wide long room whose floor is CAM_HEIGHT below the
+        # trajectory; car-sized ellipsoids rest on it ALONG the drive (within
+        # detector range of the moving camera, not bunched at the room center).
+        room_half = (16.0, 4.0, 0.6 * num_frames * step + 30.0)
+        z_start = -room_half[2] + 6.0
+        scene = make_scene(
+            num_objects=num_cars,
+            seed=seed,
+            half_extent=room_half,
+            half_range=((1.7, 0.65, 0.8), (2.3, 0.85, 1.0)),
+            z_range=(z_start + 10.0, z_start + 14.0 + num_frames * step + 18.0),
+            # Driving viewing distances (10-40 m): keep texels >= a pixel so
+            # the texture is trackable structure, not per-frame aliasing
+            # shimmer.
+            tex_period=80.0,
+        )
+        # Keep the ego lane clear: shove any car straddling |x| < 3 m
+        # sideways (driving through an ellipsoid makes it vanish).
+        e = np.array(scene.ellipsoids)
+        lane = np.abs(e[:, 0]) < 3.0
+        e[lane, 0] = np.sign(e[lane, 0] + 1e-3) * (3.2 + np.abs(e[lane, 0]))
+        scene = scene._replace(ellipsoids=_jnp.asarray(e))
 
     os.makedirs(os.path.join(out_dir, "image_0"), exist_ok=True)
     os.makedirs(os.path.join(out_dir, "image_1"), exist_ok=True)
@@ -95,10 +156,11 @@ def make_kitti_sequence(
         for i in range(num_frames):
             f.write(f"{0.1 * i:.6e}\n")
 
-    # Level forward drive with a gentle lateral sway (parallax for BA).
+    # Level forward drive with a gentle lateral sway (parallax for BA);
+    # loop mode instead follows the rounded-square circuit.
     hy = float(room_half[1])
     cam_y = hy - CAM_HEIGHT
-    z0 = z_start
+    z0 = 0.0 if loop else z_start
     Tr44 = np.eye(4, dtype=np.float32)
     Tr44[:3] = TR_VELO_TO_CAM
     Tr_inv = np.linalg.inv(Tr44)
@@ -106,15 +168,24 @@ def make_kitti_sequence(
     shift = np.eye(4, dtype=np.float32)
     shift[0, 3] = -baseline
 
+    perimeter = max(num_frames - loop_overlap, num_frames // 2) * step if loop \
+        else num_frames * step
+    straight = max((perimeter - 2.0 * np.pi * corner_r) / 4.0, 10.0)
+
     poses_wc = []
     rng = np.random.default_rng(seed)
     for i in range(num_frames):
-        yaw = 0.04 * np.sin(0.05 * i)
+        if loop:
+            pos, yaw = _circuit_pose(step * i, straight, corner_r)
+            tx, tz = float(pos[0]), float(pos[1])
+        else:
+            yaw = 0.04 * np.sin(0.05 * i)
+            tx, tz = 0.8 * np.sin(0.08 * i), z0 + step * i
         cy, sy = np.cos(yaw), np.sin(yaw)
         R_wc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
         T_wc = np.eye(4, dtype=np.float32)
         T_wc[:3, :3] = R_wc
-        T_wc[:3, 3] = [0.8 * np.sin(0.08 * i), cam_y, z0 + step * i]
+        T_wc[:3, 3] = [tx, cam_y, tz]
         poses_wc.append(T_wc)
         T_cw = np.linalg.inv(T_wc).astype(np.float32)
 
@@ -169,6 +240,12 @@ def main(argv=None):
     ap.add_argument("--width", type=int, default=624)
     ap.add_argument("--seed", type=int, default=2)
     ap.add_argument("--poses-out", default=None)
+    ap.add_argument(
+        "--loop", action="store_true",
+        help="rounded-square circuit that returns to its start (loop-closure "
+        "geometry); the last --loop-overlap frames re-drive the first stretch",
+    )
+    ap.add_argument("--loop-overlap", type=int, default=80)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.cpu:
@@ -178,7 +255,8 @@ def main(argv=None):
     make_kitti_sequence(
         args.out_dir, num_frames=args.frames, num_cars=args.cars,
         height=args.height, width=args.width, seed=args.seed,
-        poses_out=args.poses_out,
+        poses_out=args.poses_out, loop=args.loop,
+        loop_overlap=args.loop_overlap,
     )
     print(f"wrote {args.frames} frames to {args.out_dir}")
 

@@ -122,7 +122,15 @@ def detect_keypoints(
     flat_s = top_s.reshape(-1)
     flat_x = px.reshape(-1)
     flat_y = py.reshape(-1)
-    k_s, k_i = jax.lax.top_k(flat_s, max_keypoints)
+    # Small levels can expose fewer cell candidates than the level budget
+    # (cells * cell_cap < max_keypoints); top_k requires k <= size, so take
+    # what exists and pad the fixed-capacity table with invalid rows.
+    k = min(max_keypoints, flat_s.shape[0])
+    k_s, k_i = jax.lax.top_k(flat_s, k)
+    if k < max_keypoints:
+        pad = max_keypoints - k
+        k_s = jnp.concatenate([k_s, jnp.zeros(pad, k_s.dtype)])
+        k_i = jnp.concatenate([k_i, jnp.zeros(pad, k_i.dtype)])
     xy = jnp.stack(
         [flat_x[k_i].astype(img.dtype), flat_y[k_i].astype(img.dtype)], axis=-1
     )
