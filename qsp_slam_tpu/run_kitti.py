@@ -106,20 +106,24 @@ def main(argv=None):
             if os.path.exists(p):
                 det = load_detection_cache(p)
         elif args.lidar_detections:
-            velo = seq.load_velodyne(idx, max_points=30000)
-            pts_cam = seq.transform_velo_to_cam(velo)
-            if d3d is not None:
-                from qsp_slam_tpu.perception.detector3d import (
-                    lidar_detections_learned,
-                )
+            # LAZY provider: detections are only consumed at keyframe
+            # creation (the reference also detects per-KF, not per-frame,
+            # `GetObjectDetectionsLiDAR` `src/Tracking_util.cc:38`); running
+            # the 3D detector on every frame multiplied CPU runtime ~3x.
+            def det(i=idx):
+                velo = seq.load_velodyne(i, max_points=30000)
+                pts_cam = seq.transform_velo_to_cam(velo)
+                if d3d is not None:
+                    from qsp_slam_tpu.perception.detector3d import (
+                        lidar_detections_learned,
+                    )
 
-                det = lidar_detections_learned(
-                    d3d[0], d3d[1], pts_cam, cfg.intr, W, H
-                )
-            else:
+                    return lidar_detections_learned(
+                        d3d[0], d3d[1], pts_cam, cfg.intr, W, H
+                    )
                 from qsp_slam_tpu.perception.lidar_detect import lidar_detections
 
-                det = lidar_detections(pts_cam, cfg.intr, W, H)
+                return lidar_detections(pts_cam, cfg.intr, W, H)
         sysm.track_stereo(gl, gr, det)
         if (idx + 1) % 50 == 0:
             print(f"[{idx + 1}/{n}] kfs={sysm.stats['keyframes']}", file=sys.stderr)

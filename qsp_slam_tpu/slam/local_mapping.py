@@ -25,10 +25,25 @@ from .tracking import TrackingConfig
 
 
 def edge_budget_for(num_obs: int, emax: int, floor: int = 4096) -> int:
-    """Power-of-2 bucket >= num_obs: early keyframes optimize small problems
-    instead of paying for full capacity (few distinct buckets -> few compiles)."""
+    """Power-of-2 bucket >= num_obs (legacy whole-store bucketing; the
+    system now uses `window_edge_budget` — local BA cost must scale with
+    the WINDOW, not the map)."""
     b = floor
     while b < num_obs and b < emax:
+        b *= 2
+    return min(b, emax)
+
+
+def window_edge_budget(window: int, cfg: TrackingConfig, emax: int) -> int:
+    """Static edge capacity for a covisibility window: each keyframe
+    contributes at most F tracked observations + new-point observations,
+    so window * 2F bounds the window's edge count.  One value per config
+    -> ONE compiled local-BA program regardless of map size (the previous
+    num_obs-bucketing recompiled AND re-processed the whole edge store as
+    the map grew — O(map) per keyframe instead of O(window))."""
+    need = window * 2 * cfg.orb.num_features
+    b = 4096
+    while b < need and b < emax:
         b *= 2
     return min(b, emax)
 
@@ -38,23 +53,12 @@ def local_ba_step(
     m: MapState, cfg: TrackingConfig, window: int = 8,
     edge_budget: int | None = None,
 ) -> MapState:
-    """Optimize the last `window` keyframes + all their points in place."""
-    if edge_budget is not None and edge_budget < m.ob_kf.shape[0]:
-        mm = m._replace(
-            ob_kf=m.ob_kf[:edge_budget],
-            ob_pt=m.ob_pt[:edge_budget],
-            ob_uv=m.ob_uv[:edge_budget],
-            ob_ur=m.ob_ur[:edge_budget],
-            ob_octave=m.ob_octave[:edge_budget],
-            ob_valid=m.ob_valid[:edge_budget]
-            & (jnp.arange(edge_budget) < m.num_obs),
-        )
-        out = local_ba_step(mm, cfg, window, None)
-        return m._replace(
-            kf_Tcw=out.kf_Tcw,
-            pt_xyz=out.pt_xyz,
-            ob_valid=m.ob_valid.at[:edge_budget].set(out.ob_valid),
-        )
+    """Optimize the last `window` keyframes + all their points in place.
+
+    `edge_budget` (static): the window's edges are COMPACTED into a buffer
+    of this capacity before the solve (one argsort gather), so the LM
+    iterations touch O(window) edges however large the map has grown.
+    """
     Kmax = m.kf_Tcw.shape[0]
     window = min(window, Kmax)  # tiny stores: window cannot exceed capacity
     newest = m.num_kfs - 1
@@ -110,14 +114,29 @@ def local_ba_step(
     inv_sigma2 = (1.0 / cfg.orb.pyramid.scale_factor ** 2) ** m.ob_octave.astype(
         jnp.float32
     )
-    edges = ReprojEdges(
-        kf_idx=jnp.clip(edge_slot, 0),
-        pt_idx=m.ob_pt,
-        uv=m.ob_uv,
-        u_right=m.ob_ur,
-        inv_sigma2=inv_sigma2,
-        valid=valid,
-    )
+    take = None
+    if edge_budget is not None and edge_budget < m.ob_kf.shape[0]:
+        # Compact the window's edges into an O(window) buffer: the LM scan
+        # then processes `edge_budget` rows however large the edge store is.
+        order = jnp.argsort(~valid)  # stable: window edges first
+        take = order[:edge_budget]
+        edges = ReprojEdges(
+            kf_idx=jnp.clip(edge_slot, 0)[take],
+            pt_idx=m.ob_pt[take],
+            uv=m.ob_uv[take],
+            u_right=m.ob_ur[take],
+            inv_sigma2=inv_sigma2[take],
+            valid=valid[take],
+        )
+    else:
+        edges = ReprojEdges(
+            kf_idx=jnp.clip(edge_slot, 0),
+            pt_idx=m.ob_pt,
+            uv=m.ob_uv,
+            u_right=m.ob_ur,
+            inv_sigma2=inv_sigma2,
+            valid=valid,
+        )
     res = local_bundle_adjustment(
         Tcw_win,
         m.pt_xyz,
@@ -126,6 +145,14 @@ def local_ba_step(
         cfg.intr,
         baseline_fx=cfg.bf,
     )
+    # Outlier edges are disabled exactly where the gate rejected an
+    # in-window edge; out-of-window edges keep their validity.
+    if take is not None:
+        ob_valid_new = m.ob_valid.at[take].set(
+            jnp.where(valid[take], res.inlier & m.ob_valid[take], m.ob_valid[take])
+        )
+    else:
+        ob_valid_new = jnp.where(edge_slot >= 0, res.inlier & m.ob_valid, m.ob_valid)
     # Write back optimized window poses and all points (invalid slots write
     # into a dump row so duplicate clamped ids can't clobber real poses).
     kf_write = jnp.where(win_valid, kf_sel, Kmax)
@@ -133,9 +160,7 @@ def local_ba_step(
     m = m._replace(
         kf_Tcw=kf_Tcw_ext.at[kf_write].set(res.Tcw)[:Kmax],
         pt_xyz=res.points,
-        # Outlier edges are disabled exactly where the gate rejected an
-        # in-window edge; out-of-window edges keep their validity.
-        ob_valid=jnp.where(edge_slot >= 0, res.inlier & m.ob_valid, m.ob_valid),
+        ob_valid=ob_valid_new,
     )
     return m
 

@@ -508,9 +508,9 @@ class SlamSystem:
             self.map_state, jnp.asarray(self.Tcw), frame, res, self.cfg
         )
         t0 = time.perf_counter()
-        from .local_mapping import edge_budget_for
+        from .local_mapping import window_edge_budget
 
-        budget = edge_budget_for(int(self.map_state.num_obs), self.emax)
+        budget = window_edge_budget(self.ba_window, self.cfg, self.emax)
         self.map_state = local_ba_step(
             self.map_state, self.cfg, self.ba_window, budget
         )
@@ -682,7 +682,15 @@ class SlamSystem:
 
         Stereo mode fits from the sparse keypoint cloud (the reference's
         KITTI path builds object clouds from LiDAR points the same way).
+
+        `detections` may be a CALLABLE returning the dict — evaluated here,
+        at keyframe time only, so CLIs can pass a lazy provider instead of
+        running the detector on every frame (the reference also detects at
+        keyframe creation only, `GetObjectDetectionsLiDAR`,
+        `src/Tracking_util.cc:38`).
         """
+        if callable(detections):
+            detections = detections()
         cfg = self.cfg
         Tcw = jnp.asarray(self.Tcw)
         depth = jnp.asarray(depth)
@@ -1088,9 +1096,9 @@ class SlamSystem:
         )
         self.map_state = m
         t0 = time.perf_counter()
-        from .local_mapping import edge_budget_for
+        from .local_mapping import window_edge_budget
 
-        budget = edge_budget_for(int(self.map_state.num_obs), self.emax)
+        budget = window_edge_budget(self.ba_window, self.cfg, self.emax)
         self.map_state = local_ba_step(self.map_state, cfg, self.ba_window, budget)
         self.map_state = jax.block_until_ready(self.map_state)
         self.stats["ba_ms"].append((time.perf_counter() - t0) * 1e3)
@@ -1115,6 +1123,8 @@ class SlamSystem:
         IoU association, aspect-prior refinement
         (`GetObjectDetectionsMono` + PriorInfer, `src/Tracking_util.cc:213`,
         `src/core/PriorInfer.cpp`)."""
+        if callable(detections):
+            detections = detections()
         from ..perception.prior_infer import default_priors, generate_init_guess
 
         cfg = self.cfg
