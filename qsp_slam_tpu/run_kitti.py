@@ -79,6 +79,9 @@ def main(argv=None):
         width=W, height=H,
         baseline=seq.baseline,
         depth_max=60.0,
+        # Bound per-frame tracking cost on long drives (the map outgrows
+        # the frame's field of view quickly at driving speeds).
+        local_map_budget=8192,
     )
     mesh = None
     if args.mesh:

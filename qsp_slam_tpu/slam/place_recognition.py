@@ -132,6 +132,40 @@ def query(
 
 
 @partial(jax.jit, static_argnames=("k",))
+def query_topk_with_ref(
+    db: PlaceDatabase,
+    sig: jax.Array,
+    k: int = 4,
+    exclude_recent: int = 10,
+    ref_window: int = 8,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Top-k candidates + the reference minScore for adaptive gating.
+
+    Parity: `LoopClosing::DetectLoop` computes minScore = the WORST BoW
+    similarity between the current keyframe and its covisible neighbors,
+    and only candidates scoring above it are eligible
+    (`src/LoopClosing.cc:113-170`, `DetectLoopCandidates(pKF, minScore)`).
+    An absolute score floor breaks at scale: with hundreds of self-similar
+    signatures the idf weighting deflates ALL scores and a fixed threshold
+    silences true loops.  Covisible neighbors are approximated by the
+    previous `ref_window` keyframes (excluding the current one, which is
+    already snapshotted as the last database row).
+    """
+    scores = _idf_scores(db, sig)
+    kf_ids = jnp.arange(db.signatures.shape[0])
+    ok = kf_ids < db.count - exclude_recent
+    cand_scores = jnp.where(ok, scores, -jnp.inf)
+    top_scores, top_ids = jax.lax.top_k(cand_scores, k)
+    good = jnp.isfinite(top_scores)
+    ref_ok = (kf_ids >= db.count - 1 - ref_window) & (kf_ids < db.count - 1)
+    ref_min = jnp.min(jnp.where(ref_ok, scores, jnp.inf))
+    return (
+        jnp.where(good, top_ids.astype(jnp.int32), -1),
+        jnp.where(good, top_scores, -1.0),
+        jnp.where(jnp.isfinite(ref_min), ref_min, 0.0),
+    )
+
+
 def query_topk(
     db: PlaceDatabase, sig: jax.Array, k: int = 4, exclude_recent: int = 10
 ) -> tuple[jax.Array, jax.Array]:

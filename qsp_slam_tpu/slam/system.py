@@ -576,17 +576,27 @@ class SlamSystem:
         # (`DetectLoop` consistency groups).  Stage 3 (only when consistent):
         # geometric Sim3 verification.  Fires far fewer RANSAC dispatches
         # than the fused top-1 path and rejects single-frame aliasing.
-        from .place_recognition import bow_signature, query_topk
+        from .place_recognition import bow_signature, query_topk_with_ref
         from .loop_closing import ConsistencyGate, verify_loop
 
         if not hasattr(self, "_loop_gate"):
             self._loop_gate = ConsistencyGate()
         sig = bow_signature(frame.feats.desc_pm, frame.feats.valid)
-        cands, scores = query_topk(self.loop_state.db, sig, k=4)
-        score_min = 0.18
+        cands, scores, ref_min = query_topk_with_ref(
+            self.loop_state.db, sig, k=4
+        )
+        # Adaptive floor (`DetectLoop` minScore): candidates must score at
+        # least as well as the current KF's worst recent covisible
+        # neighbor; a small absolute floor guards the degenerate case.
+        score_min = max(float(ref_min), 0.02)
         scores_np = np.asarray(scores)
         cands_np = np.where(scores_np > score_min, np.asarray(cands), -1)
         chosen = self._loop_gate.update(cands_np, scores_np)
+        # Observability: per-round loop-scan telemetry (tiny; tuple per KF).
+        self.stats.setdefault("loop_scan", []).append((
+            int(kf_id), int(np.asarray(cands)[0]), float(scores_np[0]),
+            float(ref_min), int(chosen),
+        ))
         if chosen < 0:
             return
         det = verify_loop(
@@ -594,8 +604,20 @@ class SlamSystem:
             frame.feats.desc_pm, frame.feats.valid,
             pts_cam, pts_ok, jax.random.PRNGKey(77 + kf_id),
             fix_scale=fix_scale,
+            # The reference accepts a loop only with >=40 total matches
+            # after SearchBySim3 growth (`src/LoopClosing.cc:389`); the
+            # RANSAC-level 20 is too weak against self-similar scenes.
+            min_inliers=40,
         )
         if bool(det.found):
+            import sys as _sys
+
+            ev = (kf_id, int(det.match_kf), int(det.num_inliers))
+            self.stats.setdefault("loop_events", []).append(ev)
+            print(
+                f"[loop] kf={ev[0]} match={ev[1]} inliers={ev[2]}",
+                file=_sys.stderr,
+            )
             self._loop_gate.reset()
             self.map_state, self.objects = correct_loop(
                 self.map_state, self.objects, jnp.int32(kf_id), det,

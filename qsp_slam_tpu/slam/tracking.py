@@ -46,6 +46,14 @@ class TrackingConfig(NamedTuple):
     depth_max: float = 8.0
     search_radius: float = 12.0  # px, scaled by octave
     min_track_inliers: int = 20
+    # Local-map tracking budget (`Tracking::TrackLocalMap` semantics,
+    # `src/Tracking.cc:1054,1443-1587`): 0 = match against the full point
+    # table (fine while the map is small); >0 = compact the local map
+    # (frustum-visible + recently-observed points, in that priority) into a
+    # fixed-size view before the descriptor matmul, so per-frame tracking
+    # cost is O(budget) however large the map grows.  The reference bounds
+    # the same cost through its covisibility-graph local-map walk.
+    local_map_budget: int = 0
     kf_min_interval: int = 3
     kf_max_interval: int = 30
     kf_tracked_ratio: float = 0.75
@@ -156,6 +164,46 @@ def track_frame(
     m: MapState, Tcw_pred: jax.Array, frame: FrameData, cfg: TrackingConfig
 ) -> TrackResult:
     """Projection search against the map + motion-only pose optimization."""
+    Nmax = m.pt_xyz.shape[0]
+    B = cfg.local_map_budget
+    if B and B < Nmax:
+        # Local-map compaction: gather the candidate points into a fixed
+        # O(budget) view before the (points x features) descriptor matmul.
+        # Priority: inside the predicted frustum first, then points
+        # observed by the most recent keyframes (covisibility proxy).
+        pc = lie.transform_points(Tcw_pred, m.pt_xyz[None])[0]
+        uv_all, z_all = project(pc, cfg.intr)
+        in_f = (
+            m.pt_valid
+            & (z_all > cfg.depth_min)
+            & in_image(uv_all, cfg.width, cfg.height, border=-40)
+        )
+        recent_edge = m.ob_valid & (m.ob_kf >= m.num_kfs - 12)
+        recent = (
+            jnp.zeros(Nmax, jnp.int32).at[m.ob_pt].add(recent_edge.astype(jnp.int32))
+            > 0
+        ) & m.pt_valid
+        prio = in_f.astype(jnp.float32) * 2.0 + recent.astype(jnp.float32)
+        take = jnp.argsort(-prio)[:B]  # stable: ties keep id order
+        sub = m._replace(
+            pt_xyz=m.pt_xyz[take],
+            pt_desc=m.pt_desc[take],
+            pt_octave=m.pt_octave[take],
+            pt_normal=m.pt_normal[take],
+            pt_valid=m.pt_valid[take] & (prio[take] > 0.0),
+        )
+        r = _track_against(sub, Tcw_pred, frame, cfg)
+        # Scatter the per-point results back to the global table.
+        return r._replace(
+            match_pt=jnp.full(Nmax, -1, jnp.int32).at[take].set(r.match_pt),
+            match_inlier=jnp.zeros(Nmax, bool).at[take].set(r.match_inlier),
+        )
+    return _track_against(m, Tcw_pred, frame, cfg)
+
+
+def _track_against(
+    m: MapState, Tcw_pred: jax.Array, frame: FrameData, cfg: TrackingConfig
+) -> TrackResult:
     intr = cfg.intr
     # 1. Project all valid map points with the predicted pose.
     pts_cam = lie.transform_points(Tcw_pred, m.pt_xyz[None])[0]
