@@ -385,10 +385,11 @@ def measure_matching(n=4096, bits=256):
     """256-bit Hamming matching-kernel device time (ORBmatcher hot op).
 
     Two-point method with BOTH points as loops-in-one-jit (the BA bench's
-    scheme): device_ms = (t_loop64 - t_loop4)/60, medians of 5 runs each.
+    scheme): device_ms = (t_loop512 - t_loop8)/504, medians of 5 runs each.
     The old (t16 - t1)/15 variant subtracted two single tunnel-RTT-noisy
-    walls and recorded 0.0 (VERDICT r03 weak #3); a 60-iteration spread
-    (~25 ms of kernel) swamps the +-ms RTT jitter.
+    walls and recorded 0.0 (VERDICT r03 weak #3); at 504 extra iterations
+    even a ~0.05 ms kernel accumulates ~25+ ms of device time, safely
+    above the +-ms RTT jitter.
     """
     import jax
     import jax.numpy as jnp
@@ -420,9 +421,9 @@ def measure_matching(n=4096, bits=256):
             ts.append((time.perf_counter() - t) * 1e3)
         return float(np.median(ts))
 
-    t_lo = timed(make_loop(4))
-    t_hi = timed(make_loop(64))
-    return max((t_hi - t_lo) / 60.0, 0.0)
+    t_lo = timed(make_loop(8))
+    t_hi = timed(make_loop(512))
+    return max((t_hi - t_lo) / 504.0, 0.0)
 
 
 def measure_fps(num_frames=60, warmup=10):

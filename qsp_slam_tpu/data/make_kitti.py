@@ -100,7 +100,12 @@ def make_kitti_sequence(
             seed=seed,
             half_extent=room_half,
             half_range=((1.7, 0.65, 0.8), (2.3, 0.85, 1.0)),
-            tex_period=80.0,
+            # One texture period across the WHOLE world: any shorter period
+            # wraps, and two stretches of road one period apart become
+            # pixel-identical — place recognition then cannot distinguish
+            # places at all (real streets are unique; the fabrication must
+            # be too for loop-closure evidence to mean anything).
+            tex_period=2.0 * (half_span + 30.0),
         )
         # Re-place the cars along the circuit: random arc position, lateral
         # offset 5-9 m off the centerline (either side), resting on floor.

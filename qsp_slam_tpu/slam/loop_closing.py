@@ -140,11 +140,15 @@ class ConsistencyGate:
     candidate only proceeds to geometric verification after its
     neighborhood has appeared in `required` CONSECUTIVE detection rounds.
     The reference's covisibility groups are approximated by keyframe-id
-    neighborhoods (adjacent keyframes are covisible by construction of the
-    keyframe policy).  Host-side state — tiny, per-keyframe.
+    neighborhoods; the default width (8 ids ~ a few tens of frames of
+    shared view) matches the breadth of the reference's expanded
+    candidate-group covisibility sets — a narrow window starves the gate
+    when appearance ranking jitters between adjacent revisit keyframes
+    (geometric verification remains the correctness backstop).
+    Host-side state — tiny, per-keyframe.
     """
 
-    def __init__(self, required: int = 3, neighborhood: int = 3):
+    def __init__(self, required: int = 3, neighborhood: int = 8):
         self.required = required
         self.neighborhood = neighborhood
         self.history: list[list[int]] = []

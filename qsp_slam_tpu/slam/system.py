@@ -583,7 +583,7 @@ class SlamSystem:
             self._loop_gate = ConsistencyGate()
         sig = bow_signature(frame.feats.desc_pm, frame.feats.valid)
         cands, scores, ref_min = query_topk_with_ref(
-            self.loop_state.db, sig, k=4
+            self.loop_state.db, sig, k=8
         )
         # Adaptive floor (`DetectLoop` minScore): candidates must score at
         # least as well as the current KF's worst recent covisible
@@ -594,8 +594,8 @@ class SlamSystem:
         chosen = self._loop_gate.update(cands_np, scores_np)
         # Observability: per-round loop-scan telemetry (tiny; tuple per KF).
         self.stats.setdefault("loop_scan", []).append((
-            int(kf_id), int(np.asarray(cands)[0]), float(scores_np[0]),
-            float(ref_min), int(chosen),
+            int(kf_id), tuple(int(c) for c in np.asarray(cands)),
+            float(scores_np[0]), float(ref_min), int(chosen),
         ))
         if chosen < 0:
             return
