@@ -47,7 +47,7 @@ def main():
     for row in scan[-40:]:
         print("  ", tuple(round(x, 3) if isinstance(x, float) else x
                           for x in row))
-    old = [r for r in scan if 0 <= r[1] < r[0] - 40]
+    old = [r for r in scan if any(0 <= c < r[0] - 40 for c in r[1])]
     print("rounds with an OLD top-candidate:", len(old))
     for row in old[:20]:
         print("  OLD", tuple(round(x, 3) if isinstance(x, float) else x

@@ -2,15 +2,26 @@
 
 Replaces DBoW2 (`Thirdparty/DBoW2`, `KeyFrameDatabase`
 `src/KeyFrameDatabase.cc:76-199`).  TPU-native re-design (SURVEY.md §2.6):
-  * the vocabulary is a deterministic random set of W binary centroids in
-    ±1 form — no offline training artifact needed (descriptors in this
-    framework are self-consistent, see frontend.orb);
-  * quantization of a frame's 256-bit descriptors to words = one int8
-    matmul + argmax;
-  * a frame signature is its tf-normalized word histogram; database
-    scoring = one (K, W) x (W,) matvec — the inverted index becomes a
-    dense similarity product, which at SLAM scale (hundreds of keyframes)
-    is faster on the MXU than pointer chasing.
+  * matcher word buckets (`SearchByBoW`'s `DBoW2::FeatureVector` role) use
+    a deterministic random set of W binary centroids in ±1 form;
+    quantization = one int8 matmul + argmax — no offline vocabulary
+    artifact needed;
+  * the PLACE signature is a multi-table LSH histogram: T independent
+    B-bit samples of each 256-bit descriptor, tf-histogrammed per table
+    into a (T * 2^B,) vector.  DBoW2 gets its discriminative power from a
+    ~1e6-leaf TRAINED vocabulary that keeps frame histograms sparse; a
+    small random-centroid argmax cannot substitute — with 2 000 features
+    over 512 centroids every street scene's histogram looks alike
+    (measured: raw cosine between UNRELATED keyframes 0.92, and a true
+    revisit ranked ~20th of 100 after idf).  Bit-sampling hashes degrade
+    gracefully instead: descriptors differing in h bits agree on a B-bit
+    table w.p. (1-h/256)^B, so matching features pile mass on shared bins
+    across many tables while random descriptors decorrelate (measured:
+    true revisit rank 1/100, z-margin ~4.6 over the background);
+  * database scoring stays one (K, W) x (W,) idf-weighted matvec — the
+    inverted index becomes a dense similarity product, which at SLAM
+    scale (hundreds of keyframes) is faster on the MXU than pointer
+    chasing.
 """
 
 from __future__ import annotations
@@ -49,17 +60,47 @@ def quantize_words(desc_pm: jax.Array) -> jax.Array:
     return jnp.argmax(sim, axis=-1).astype(jnp.int32)
 
 
+# Multi-table LSH signature: T tables x B bits -> (T * 2^B,) histogram.
+# (64, 10) chosen by a rank/margin sweep on a 100-keyframe revisit scenario
+# (see module docstring); the bit subsets are deterministic, like the
+# matcher vocabulary above.
+LSH_TABLES = 64
+LSH_BITS = 10
+SIG_DIM = LSH_TABLES << LSH_BITS
+
+
+def _make_lsh_subsets(
+    seed: int = 7, tables: int = LSH_TABLES, bits: int = LSH_BITS
+) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return np.stack(
+        [rng.choice(DESC_BITS, size=bits, replace=False) for _ in range(tables)]
+    ).astype(np.int32)  # (T, B)
+
+
+_LSH_SUBSETS = _make_lsh_subsets()
+
+
 @jax.jit
 def bow_signature(desc_pm: jax.Array, valid: jax.Array) -> jax.Array:
-    """Frame descriptor table (F, 256) ±1 -> normalized word histogram (W,)."""
-    vocab = jnp.asarray(_VOCAB)
-    sim = jax.lax.dot_general(
-        desc_pm, vocab, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # (F, W): agreement count; hamming = (256 - sim)/2
-    word = jnp.argmax(sim, axis=-1)
-    hist = jnp.bincount(
-        jnp.where(valid, word, NUM_WORDS), length=NUM_WORDS + 1
-    )[:NUM_WORDS].astype(jnp.float32)
+    """Frame descriptor table (F, 256) ±1 -> normalized LSH histogram (SIG_DIM,).
+
+    Per table t: word = the B sampled descriptor bits packed to an int in
+    [0, 2^B); the signature concatenates the T per-table tf histograms.
+    One (F, T, B) gather + bit-pack + a single scatter-add per keyframe —
+    keyframe-cadence work, off the per-frame hot path.
+    """
+    idx = jnp.asarray(_LSH_SUBSETS)  # (T, B)
+    bits = (desc_pm[:, idx] > 0).astype(jnp.int32)  # (F, T, B)
+    pw = jnp.asarray(1 << np.arange(LSH_BITS), jnp.int32)
+    words = jnp.sum(bits * pw, axis=-1)  # (F, T) in [0, 2^B)
+    offs = (jnp.arange(LSH_TABLES, dtype=jnp.int32) << LSH_BITS)[None, :]
+    flat = jnp.where(valid[:, None], words + offs, SIG_DIM)  # invalid -> spill
+    hist = (
+        jnp.zeros(SIG_DIM + 1, jnp.float32)
+        .at[flat.reshape(-1)]
+        .add(1.0, mode="drop")[:SIG_DIM]
+    )
     n = jnp.linalg.norm(hist)
     return hist / jnp.where(n == 0, 1.0, n)
 
@@ -67,13 +108,13 @@ def bow_signature(desc_pm: jax.Array, valid: jax.Array) -> jax.Array:
 class PlaceDatabase(NamedTuple):
     """Fixed-capacity signature store, one row per keyframe."""
 
-    signatures: jax.Array  # (Kmax, W)
+    signatures: jax.Array  # (Kmax, SIG_DIM)
     count: jax.Array  # () int32
 
 
 def empty_database(kmax: int = 64) -> PlaceDatabase:
     return PlaceDatabase(
-        signatures=jnp.zeros((kmax, NUM_WORDS), jnp.float32), count=jnp.int32(0)
+        signatures=jnp.zeros((kmax, SIG_DIM), jnp.float32), count=jnp.int32(0)
     )
 
 

@@ -100,11 +100,11 @@ class TestIdfScoring:
         cosine ranks an impostor (more common-word mass) first; idf ranks
         the true match first."""
         from qsp_slam_tpu.slam.place_recognition import (
-            NUM_WORDS, empty_database, add_signature, query,
+            SIG_DIM, empty_database, add_signature, query,
         )
 
         def sig(common_w, distinct, distinct_w):
-            s = np.zeros(NUM_WORDS, np.float32)
+            s = np.zeros(SIG_DIM, np.float32)
             s[:24] = common_w  # words 0..23 appear in EVERY keyframe
             for d in distinct:
                 s[d] = distinct_w
