@@ -49,6 +49,38 @@ def _rebuild(cls, prefix: str, data: dict):
     return cls(**kwargs)
 
 
+def _migrate_loop_state(data: dict) -> None:
+    """In-place migrations for checkpoints written by older builds.
+
+    * `loop.kf_octave` (added for octave-scaled Sim3 chi2 gating) — absent
+      rows default to octave 0, the strictest gate.
+    * Place-signature format changes (the 512-dim tf-idf store became a
+      multi-table LSH histogram): the snapshot descriptors are still in the
+      checkpoint, so the database is REBUILT by re-running `bow_signature`
+      over them instead of crashing on the first add/query shape mismatch.
+    """
+    if "loop.kf_desc" not in data:
+        return
+    if "loop.kf_octave" not in data:
+        data["loop.kf_octave"] = np.zeros(
+            data["loop.kf_feat_ok"].shape, np.int8
+        )
+    from .place_recognition import SIG_DIM, bow_signature
+
+    sig = data["loop.db.signatures"]
+    if sig.shape[1] != SIG_DIM:
+        import jax
+
+        sigs = np.asarray(
+            jax.vmap(bow_signature)(
+                jnp.asarray(data["loop.kf_desc"]),
+                jnp.asarray(data["loop.kf_feat_ok"]),
+            )
+        )
+        sigs[int(data["loop.db.count"]):] = 0.0
+        data["loop.db.signatures"] = sigs
+
+
 def save_checkpoint(path: str, system) -> None:
     """Persist a SlamSystem's full session state to one npz."""
     data = {}
@@ -103,6 +135,7 @@ def load_checkpoint(path: str, system) -> None:
 
     with np.load(path) as z:
         data = {k: z[k] for k in z.files}
+    _migrate_loop_state(data)
     system.map_state = _rebuild(MapState, "map.", data)
     system.objects = _rebuild(ObjectTable, "obj.", data)
     system.loop_state = _rebuild(LoopState, "loop.", data)

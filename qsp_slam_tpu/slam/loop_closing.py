@@ -24,10 +24,11 @@ import jax
 import jax.numpy as jnp
 
 from ..core import lie, quadric
+from ..core.camera import project
 from ..frontend import matcher
 from ..frontend.orb import DESC_BITS
 from ..opt.pose_graph import PoseGraphEdges, optimize_pose_graph, relative_measurement
-from ..opt.sim3_solver import ransac_sim3
+from ..opt.sim3_solver import ransac_sim3_reproj
 from .map import MapState
 from .objects import ObjectTable, merge_duplicates
 from .place_recognition import (
@@ -47,6 +48,7 @@ class LoopState(NamedTuple):
     kf_pts_ok: jax.Array  # (Kmax, S) bool
     kf_xy: jax.Array  # (Kmax, S, 2) pixel positions (mono triangulation seam)
     kf_feat_ok: jax.Array  # (Kmax, S) bool — feature validity (indep. of depth)
+    kf_octave: jax.Array  # (Kmax, S) int8 pyramid level (Sim3 chi2 scaling)
 
 
 def empty_loop_state(kmax: int = 64, snap: int = 384) -> LoopState:
@@ -57,6 +59,7 @@ def empty_loop_state(kmax: int = 64, snap: int = 384) -> LoopState:
         kf_pts_ok=jnp.zeros((kmax, snap), bool),
         kf_xy=jnp.zeros((kmax, snap, 2), jnp.float32),
         kf_feat_ok=jnp.zeros((kmax, snap), bool),
+        kf_octave=jnp.zeros((kmax, snap), jnp.int8),
     )
 
 
@@ -68,6 +71,7 @@ def snapshot_keyframe(
     pts_cam: jax.Array,  # (F, 3) camera-frame backprojections (depth)
     pts_ok: jax.Array,  # (F,)
     xy: jax.Array,  # (F, 2) pixel positions
+    octave: jax.Array | None = None,  # (F,) pyramid level
 ) -> LoopState:
     """Store a fixed-size snapshot (strongest-first order assumed) + signature.
 
@@ -75,6 +79,8 @@ def snapshot_keyframe(
     dropped whole (slot k <-> KF k alignment must never shift by one)."""
     S = ls.kf_desc.shape[1]
     Kmax = ls.kf_desc.shape[0]
+    if octave is None:
+        octave = jnp.zeros(desc_pm.shape[0], jnp.int8)
     fits = ls.db.count < Kmax
     kid = jnp.clip(ls.db.count, 0, Kmax - 1)
     sig = bow_signature(desc_pm, feat_valid)
@@ -99,6 +105,9 @@ def snapshot_keyframe(
         kf_xy=ls.kf_xy.at[kid].set(sel(fit_rows(xy, 0.0), ls.kf_xy[kid])),
         kf_feat_ok=ls.kf_feat_ok.at[kid].set(
             sel(fit_rows(feat_valid, False), ls.kf_feat_ok[kid])
+        ),
+        kf_octave=ls.kf_octave.at[kid].set(
+            sel(fit_rows(octave.astype(jnp.int8), 0), ls.kf_octave[kid])
         ),
     )
 
@@ -178,7 +187,7 @@ class ConsistencyGate:
         self.history = []
 
 
-@partial(jax.jit, static_argnames=("fix_scale",))
+@partial(jax.jit, static_argnames=("fix_scale", "scale_factor"))
 def verify_loop(
     ls: LoopState,
     cand: jax.Array,  # int32 candidate keyframe id
@@ -187,15 +196,22 @@ def verify_loop(
     pts_cam: jax.Array,  # (F, 3)
     pts_ok: jax.Array,
     key: jax.Array,
+    intr=None,  # Intrinsics — required for image-space gating
+    xy: jax.Array | None = None,  # (F, 2) current keypoint pixels
+    octave: jax.Array | None = None,  # (F,) current keypoint octaves
     min_inliers: int = 20,
     fix_scale: bool = True,
+    scale_factor: float = 1.2,
 ) -> LoopDetection:
     """Geometric loop verification: vocabulary-gated descriptor match +
-    RANSAC Sim3 + SearchBySim3 correspondence growth
+    image-space RANSAC Sim3 + SearchBySim3 correspondence growth
     (`LoopClosing::ComputeSim3`, `src/LoopClosing.cc:241`)."""
+    if octave is None:
+        octave = jnp.zeros(desc_pm.shape[0], jnp.int32)
     cand_c = jnp.clip(cand, 0)
     res, _ = _match_and_solve_sim3(
-        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale
+        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, xy, octave,
+        key, fix_scale, intr, scale_factor,
     )
     found = (cand >= 0) & res.ok & (res.num_inliers >= min_inliers)
     return LoopDetection(
@@ -208,24 +224,33 @@ def verify_loop(
 
 
 def _match_and_solve_sim3(
-    ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale,
-    grow_radius: float = 0.3,
+    ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, xy, octave, key,
+    fix_scale, intr, scale_factor: float = 1.2, grow_px: float = 7.5,
 ):
     """Shared loop-verification core.
 
     1. `SearchByBoW`-style first pass: mutual match restricted to features
        quantized to the same vocabulary word (`src/ORBmatcher.cc:159,522`).
-    2. RANSAC Sim3 on the matched camera-frame points.
-    3. `SearchBySim3` growth (`src/ORBmatcher.cc:1102`): transform the
-       candidate's points into the current frame with the solved Sim3 and
-       re-match within a metric radius — correspondences the appearance
-       pass missed — then re-solve; keep the better of the two solutions.
+    2. RANSAC Sim3 on the matched pairs, gated by octave-scaled REPROJECTION
+       chi2 in both images (`Sim3Solver::CheckInliers` parity — a fixed
+       metric threshold rejects every true revisit at stereo driving ranges,
+       the round-4 loop-never-fires defect).
+    3. `SearchBySim3` growth (`src/ORBmatcher.cc:1102`): project the
+       candidate's points into the current IMAGE with the solved Sim3 and
+       re-match within an octave-scaled pixel window (`th*scaleFactor^oct`)
+       — correspondences the appearance pass missed — then re-solve; keep
+       the better of the two solutions.
     """
     from .place_recognition import quantize_words
 
     cand_desc = ls.kf_desc[cand_c]
     cand_ok = ls.kf_pts_ok[cand_c]
     cand_pts = ls.kf_pts_cam[cand_c]
+    cand_xy = ls.kf_xy[cand_c]
+    cand_oct = ls.kf_octave[cand_c].astype(jnp.float32)
+    sig2_cur = jnp.float32(scale_factor) ** (2.0 * octave.astype(jnp.float32))
+    sig2_cand = jnp.float32(scale_factor) ** (2.0 * cand_oct)
+
     wm = matcher.word_mask(
         quantize_words(desc_pm), quantize_words(cand_desc)
     )
@@ -233,28 +258,35 @@ def _match_and_solve_sim3(
         desc_pm, feat_valid & pts_ok, cand_desc, cand_ok,
         max_dist=matcher.TH_LOW, ratio=0.9, pair_mask=wm,
     )
-    src = cand_pts[jnp.clip(m.idx, 0)]
-    res = ransac_sim3(
-        src, pts_cam, m.valid, key, with_scale=not fix_scale, inlier_th=0.12
-    )
+    j = jnp.clip(m.idx, 0)
 
+    def solve(match_idx, match_valid, k):
+        ji = jnp.clip(match_idx, 0)
+        return ransac_sim3_reproj(
+            pts_src=cand_pts[ji], pts_dst=pts_cam,
+            uv_src=cand_xy[ji], uv_dst=xy,
+            sigma2_src=sig2_cand[ji], sigma2_dst=sig2_cur,
+            valid=match_valid, key=k, intr=intr,
+            with_scale=not fix_scale,
+        )
+
+    res = solve(m.idx, m.valid, key)
+
+    # Growth window: candidate snapshot projected into the current image.
     src_in_cur = lie.transform_points(res.T_ds, cand_pts)
+    uv_proj, z_proj = project(src_in_cur, intr)
+    r = grow_px * jnp.float32(scale_factor) ** octave.astype(jnp.float32)
     near = (
-        jnp.linalg.norm(pts_cam[:, None, :] - src_in_cur[None, :, :], axis=-1)
-        < grow_radius
-    )
+        jnp.sum((xy[:, None, :] - uv_proj[None, :, :]) ** 2, axis=-1)
+        < (r ** 2)[:, None]
+    ) & (z_proj > 0)[None, :]
     m2 = matcher.mutual_match(
         desc_pm, feat_valid & pts_ok, cand_desc, cand_ok,
         max_dist=matcher.TH_HIGH, ratio=0.95, pair_mask=near,
     )
-    src2 = jnp.where(
-        m2.valid[:, None], cand_pts[jnp.clip(m2.idx, 0)], src
-    )
+    idx2 = jnp.where(m2.valid, m2.idx, m.idx)
     valid2 = (m2.valid | m.valid) & res.ok  # growth only off a real seed
-    res2 = ransac_sim3(
-        src2, pts_cam, valid2, jax.random.fold_in(key, 1),
-        with_scale=not fix_scale, inlier_th=0.12,
-    )
+    res2 = solve(idx2, valid2, jax.random.fold_in(key, 1))
     better = res2.ok & (res2.num_inliers > res.num_inliers)
     res = type(res)(
         T_ds=jnp.where(better, res2.T_ds, res.T_ds),
@@ -265,7 +297,7 @@ def _match_and_solve_sim3(
     return res, m
 
 
-@partial(jax.jit, static_argnames=("fix_scale",))
+@partial(jax.jit, static_argnames=("fix_scale", "scale_factor"))
 def detect_loop(
     ls: LoopState,
     desc_pm: jax.Array,  # current KF features (F, 256)
@@ -273,18 +305,25 @@ def detect_loop(
     pts_cam: jax.Array,  # (F, 3)
     pts_ok: jax.Array,
     key: jax.Array,
+    intr=None,
+    xy: jax.Array | None = None,
+    octave: jax.Array | None = None,
     score_min: float = 0.18,
     exclude_recent: int = 10,
     min_inliers: int = 20,
     fix_scale: bool = True,
+    scale_factor: float = 1.2,
 ) -> LoopDetection:
     """Appearance query + Sim3 geometric verification in one fused pass."""
+    if octave is None:
+        octave = jnp.zeros(desc_pm.shape[0], jnp.int32)
     sig = bow_signature(desc_pm, feat_valid)
     cand, score = query(ls.db, sig, exclude_recent)
     cand_c = jnp.clip(cand, 0)
 
     res, _ = _match_and_solve_sim3(
-        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, key, fix_scale
+        ls, cand_c, desc_pm, feat_valid, pts_cam, pts_ok, xy, octave,
+        key, fix_scale, intr, scale_factor,
     )
     found = (score > score_min) & res.ok & (res.num_inliers >= min_inliers)
     return LoopDetection(

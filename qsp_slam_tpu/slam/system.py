@@ -212,6 +212,15 @@ class SlamSystem:
             jnp.asarray(gray), jnp.asarray(depth),
             self.map_state, jnp.asarray(Tcw_pred), cfg,
         )
+        return self._post_track(frame, res, Tcw_pred, t0)
+
+    def _post_track(self, frame, res, Tcw_pred, t0) -> np.ndarray:
+        """Shared per-frame host policy after the fused tracking dispatch:
+        fetch, consistency gate, accept/velocity update, keyframe trigger,
+        relocalization / early-reset recovery (sensor-independent — the
+        reference's `Track()` state machine tail, `src/Tracking.cc:414-627`).
+        """
+        cfg = self.cfg
         # ONE device->host transfer for everything the host policy needs
         # (each separate int()/np.asarray() pull costs a tunnel round trip);
         # the FrameDrawer arrays ride the same transfer when enabled.
@@ -566,7 +575,7 @@ class SlamSystem:
         pts_ok = frame.depth > 0.0
         self.loop_state = snapshot_keyframe(
             self.loop_state, frame.feats.desc_pm, frame.feats.valid,
-            pts_cam, pts_ok, frame.feats.xy,
+            pts_cam, pts_ok, frame.feats.xy, frame.feats.octave,
         )
         if not self.enable_loop_closing or kf_id < 12:
             return
@@ -593,22 +602,29 @@ class SlamSystem:
         cands_np = np.where(scores_np > score_min, np.asarray(cands), -1)
         chosen = self._loop_gate.update(cands_np, scores_np)
         # Observability: per-round loop-scan telemetry (tiny; tuple per KF).
-        self.stats.setdefault("loop_scan", []).append((
+        # The last field is the VERIFIER's inlier count (-1 = not run) —
+        # without it, verification failures on a drive are invisible
+        # (round-4 weak #1).
+        scan_row = [
             int(kf_id), tuple(int(c) for c in np.asarray(cands)),
-            float(scores_np[0]), float(ref_min), int(chosen),
-        ))
+            float(scores_np[0]), float(ref_min), int(chosen), -1,
+        ]
+        self.stats.setdefault("loop_scan", []).append(scan_row)
         if chosen < 0:
             return
         det = verify_loop(
             self.loop_state, jnp.int32(chosen),
             frame.feats.desc_pm, frame.feats.valid,
             pts_cam, pts_ok, jax.random.PRNGKey(77 + kf_id),
+            intr=cfg.intr, xy=frame.feats.xy, octave=frame.feats.octave,
             fix_scale=fix_scale,
+            scale_factor=cfg.orb.pyramid.scale_factor,
             # The reference accepts a loop only with >=40 total matches
             # after SearchBySim3 growth (`src/LoopClosing.cc:389`); the
             # RANSAC-level 20 is too weak against self-similar scenes.
             min_inliers=40,
         )
+        scan_row[5] = int(det.num_inliers)
         if bool(det.found):
             import sys as _sys
 
@@ -715,7 +731,26 @@ class SlamSystem:
             detections = detections()
         cfg = self.cfg
         Tcw = jnp.asarray(self.Tcw)
-        depth = jnp.asarray(depth)
+        sparse = self._sensor == "stereo" and frame is not None
+        if depth is None and sparse:
+            # Fused stereo keeps depth per-KEYPOINT; the only dense consumer
+            # left (DeepSDF shape sampling) gets a scatter image built at
+            # keyframe cadence, on device.
+            if self.shape_prior is not None:
+                xi = jnp.clip(
+                    jnp.round(frame.feats.xy[:, 0]).astype(jnp.int32),
+                    0, cfg.width - 1,
+                )
+                yi = jnp.clip(
+                    jnp.round(frame.feats.xy[:, 1]).astype(jnp.int32),
+                    0, cfg.height - 1,
+                )
+                depth = (
+                    jnp.zeros((cfg.height, cfg.width), jnp.float32)
+                    .at[yi, xi].set(frame.depth)
+                )
+        if depth is not None:
+            depth = jnp.asarray(depth)
         kf_id = int(self.map_state.num_kfs) - 1
         if detections is None and self.detector is not None:
             # detect_online mode: the on-mesh detector supplies the frame's
@@ -727,7 +762,6 @@ class SlamSystem:
                 dparams, dcfg, jnp.asarray(self._pending_gray)
             )
             self._pending_gray = None
-        sparse = self._sensor == "stereo" and frame is not None
         if sparse:
             kp_pts = backproject(frame.feats.xy, frame.depth, cfg.intr)
             kp_ok = frame.depth > 0.0
@@ -971,28 +1005,37 @@ class SlamSystem:
     # Stereo mode (`System::TrackStereo` equivalent, the KITTI path)
     # ------------------------------------------------------------------
     def track_stereo(self, gray_left, gray_right, detections=None) -> np.ndarray:
-        """Stereo frame: left-right matching supplies per-keypoint depth,
-        then the RGB-D pipeline runs unchanged (the reference treats stereo
-        and RGB-D uniformly once `mvuRight`/depth exist, `src/Frame.cc`)."""
-        from ..frontend.orb import extract_features
-        from ..frontend.stereo import depth_from_u_right, match_stereo
+        """Stereo frame in ONE fused dispatch: left+right extraction,
+        scanline matching (subpixel), per-keypoint depth, and tracking
+        (`tracking.process_and_track_stereo`) — then the sensor-independent
+        host policy.  Parity: `System::TrackStereo` -> stereo `Frame` ctor ->
+        `Track()` (`src/System.cc:228`, `src/Frame.cc`); the reference also
+        treats stereo and RGB-D uniformly once per-keypoint depth exists."""
+        from .tracking import process_and_track_stereo, process_frame_stereo
 
         self._sensor = "stereo"
-        cfg = self.cfg
-        fl = extract_features(jnp.asarray(gray_left), cfg.orb)
-        fr = extract_features(jnp.asarray(gray_right), cfg.orb)
-        u_r = match_stereo(
-            fl, fr, cfg.bf,
-            gray_left=jnp.asarray(gray_left), gray_right=jnp.asarray(gray_right),
+        self._pending_detections = detections
+        self._pending_depth = None  # objects fit from the sparse keypoint cloud
+        self._pending_gray = (
+            gray_left if (detections is None and self.detector is not None)
+            else None
         )
-        depth_kp = depth_from_u_right(fl.xy[:, 0], u_r, cfg.bf)
-        # Build a sparse depth image at keypoint locations so the common
-        # RGB-D entry applies (depth sampling happens at those same pixels).
-        xi = jnp.clip(jnp.round(fl.xy[:, 0]).astype(jnp.int32), 0, cfg.width - 1)
-        yi = jnp.clip(jnp.round(fl.xy[:, 1]).astype(jnp.int32), 0, cfg.height - 1)
-        depth_img = jnp.zeros((cfg.height, cfg.width), jnp.float32)
-        depth_img = depth_img.at[yi, xi].set(depth_kp)
-        return self.track_rgbd(gray_left, np.asarray(depth_img), detections)
+        self._ensure_capacity()
+        cfg = self.cfg
+        if not self.initialized:
+            frame = process_frame_stereo(
+                jnp.asarray(gray_left), jnp.asarray(gray_right), cfg
+            )
+            self._initialize(frame)
+            self.trajectory.append(self.Tcw.copy())
+            return self.Tcw
+        t0 = time.perf_counter()
+        Tcw_pred = self.velocity @ self.Tcw
+        frame, res = process_and_track_stereo(
+            jnp.asarray(gray_left), jnp.asarray(gray_right),
+            self.map_state, jnp.asarray(Tcw_pred), cfg,
+        )
+        return self._post_track(frame, res, Tcw_pred, t0)
 
     # ------------------------------------------------------------------
     # Monocular mode (`System::TrackMonocular` equivalent)

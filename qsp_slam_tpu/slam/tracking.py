@@ -310,6 +310,53 @@ def process_and_track(
     return frame, track_frame(m, Tcw_pred, frame, cfg)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def process_frame_stereo(
+    gray_left: jax.Array, gray_right: jax.Array, cfg: TrackingConfig
+) -> FrameData:
+    """Stereo frame constructor in ONE program: extract left+right features,
+    scanline-match with subpixel refinement, and produce per-keypoint depth
+    DIRECTLY — no dense depth-image scatter, no second left extraction.
+
+    Parity: `Frame::ComputeStereoMatches` feeding the stereo Frame ctor
+    (`src/Frame.cc`).  The round-4 path scattered keypoint depth into an
+    (H, W) image and re-ran the RGB-D entry (re-extracting the SAME left
+    image); that cost 2 extra dispatches per frame on the drive workload.
+    """
+    gl = gray_left.astype(jnp.float32) if gray_left.dtype != jnp.float32 else gray_left
+    gr = gray_right.astype(jnp.float32) if gray_right.dtype != jnp.float32 else gray_right
+    from ..frontend.stereo import depth_from_u_right, match_stereo
+
+    fl = extract_features(gl, cfg.orb)
+    fr = extract_features(gr, cfg.orb)
+    u_r = match_stereo(
+        fl, fr, cfg.bf,
+        min_depth=cfg.depth_min, max_depth=cfg.depth_max,
+        gray_left=gl, gray_right=gr,
+    )
+    d = depth_from_u_right(fl.xy[:, 0], u_r, cfg.bf)
+    ok = (d > cfg.depth_min) & (d < cfg.depth_max) & fl.valid
+    return FrameData(
+        feats=fl,
+        depth=jnp.where(ok, d, 0.0),
+        u_right=jnp.where(ok, u_r, -1.0),
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def process_and_track_stereo(
+    gray_left: jax.Array,
+    gray_right: jax.Array,
+    m: MapState,
+    Tcw_pred: jax.Array,
+    cfg: TrackingConfig,
+) -> tuple[FrameData, TrackResult]:
+    """Fused stereo per-frame step: both extractions + stereo matching +
+    tracking in ONE dispatch (the stereo sibling of `process_and_track`)."""
+    frame = process_frame_stereo(gray_left, gray_right, cfg)
+    return frame, track_frame(m, Tcw_pred, frame, cfg)
+
+
 class ChunkResult(NamedTuple):
     """Per-frame outputs of a tracked chunk (leading axis = chunk frame)."""
 

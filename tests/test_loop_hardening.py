@@ -80,22 +80,49 @@ class TestQueryTopK:
 class TestGeometricDecoyRejection:
     """Same appearance, different geometry: the Sim3 verification must
     refuse the loop (this is what fires false loops on perceptually
-    aliased corridors)."""
+    aliased corridors).  Pixels are each frame's own projection of its
+    camera-frame points — the image-space chi2 gate (`Sim3Solver::
+    CheckInliers` parity) judges matches by reprojection in BOTH frames."""
+
+    INTR = None  # set lazily (Intrinsics holds jnp scalars)
+
+    @classmethod
+    def _intr(cls):
+        from qsp_slam_tpu.core.camera import Intrinsics
+
+        if cls.INTR is None:
+            cls.INTR = Intrinsics(
+                jnp.float32(500.0), jnp.float32(500.0),
+                jnp.float32(320.0), jnp.float32(240.0),
+            )
+        return cls.INTR
+
+    def _uv(self, pts):
+        from qsp_slam_tpu.core.camera import project
+
+        return project(pts, self._intr())[0]
 
     def _snapshot(self, ls, desc, pts):
         F = desc.shape[0]
         ok = jnp.ones(F, bool)
-        return snapshot_keyframe(ls, desc, ok, pts, ok, jnp.zeros((F, 2)))
+        return snapshot_keyframe(
+            ls, desc, ok, pts, ok, self._uv(pts), jnp.zeros(F, jnp.int32)
+        )
 
     def test_decoy_rejected_true_loop_accepted(self):
         rng = np.random.default_rng(3)
         F = 128
         desc = jnp.asarray(rng.choice([-1, 1], size=(F, 256)).astype(np.int8))
-        pts_a = jnp.asarray(rng.uniform(-2, 2, size=(F, 3)).astype(np.float32))
+        # Points in front of the camera (driving-scene depth range).
+        xyz = rng.uniform(-2, 2, size=(F, 3)).astype(np.float32)
+        xyz[:, 2] = rng.uniform(3.0, 12.0, size=F).astype(np.float32)
+        pts_a = jnp.asarray(xyz)
         # Decoy: identical descriptors, unrelated random geometry.
-        pts_decoy = jnp.asarray(rng.uniform(-2, 2, size=(F, 3)).astype(np.float32))
+        xyz_d = rng.uniform(-2, 2, size=(F, 3)).astype(np.float32)
+        xyz_d[:, 2] = rng.uniform(3.0, 12.0, size=F).astype(np.float32)
+        pts_decoy = jnp.asarray(xyz_d)
         # True revisit: same points seen from a rigidly moved camera.
-        th = 0.4
+        th = 0.1
         R = jnp.asarray(
             [[np.cos(th), 0, np.sin(th)], [0, 1, 0], [-np.sin(th), 0, np.cos(th)]],
             jnp.float32,
@@ -107,13 +134,14 @@ class TestGeometricDecoyRejection:
         ls = self._snapshot(ls, desc, pts_a)  # KF 0: the stored place
 
         key = jax.random.PRNGKey(0)
+        common = dict(intr=self._intr(), octave=jnp.zeros(F, jnp.int32))
         det_decoy = verify_loop(
             ls, jnp.int32(0), desc, jnp.ones(F, bool), pts_decoy,
-            jnp.ones(F, bool), key,
+            jnp.ones(F, bool), key, xy=self._uv(pts_decoy), **common,
         )
         det_true = verify_loop(
             ls, jnp.int32(0), desc, jnp.ones(F, bool), pts_true,
-            jnp.ones(F, bool), key,
+            jnp.ones(F, bool), key, xy=self._uv(pts_true), **common,
         )
         assert not bool(det_decoy.found)
         assert bool(det_true.found)

@@ -38,6 +38,13 @@ def loop_scene():
     return cfg, frame_at
 
 
+def _detect(cfg, ls, f, pts, ok, key, **kw):
+    return detect_loop(
+        ls, f.desc_pm, f.valid, pts, ok, key,
+        intr=cfg.intr, xy=f.xy, octave=f.octave, **kw,
+    )
+
+
 class TestLoopDetection:
     def test_detects_revisit_and_recovers_relative_pose(self, loop_scene):
         cfg, frame_at = loop_scene
@@ -51,15 +58,15 @@ class TestLoopDetection:
             poses.append(lie.exp_se3(xi))
         for T in poses:
             f, pts, ok = frame_at(T)
-            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy)
+            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy,
+                                   f.octave)
 
         # Current view: near KF 0 with a known small offset.
         T_off = lie.exp_se3(jnp.asarray([0.05, 0.02, 0.03, 0.0, 0.03, 0.0]))
         T_cur = T_off  # pose = offset from origin
         f, pts, ok = frame_at(T_cur)
-        det = detect_loop(
-            ls, f.desc_pm, f.valid, pts, ok, jax.random.PRNGKey(0),
-            exclude_recent=10,
+        det = _detect(
+            cfg, ls, f, pts, ok, jax.random.PRNGKey(0), exclude_recent=10,
         )
         assert bool(det.found)
         # The query sits between KF 0 (offset 0.05) and KF 1 (offset 0.12);
@@ -80,10 +87,11 @@ class TestLoopDetection:
         for k in range(15):
             xi = jnp.asarray([0.12 * k, 0.0, 0.0, 0.0, 0.05 * k, 0.0], jnp.float32)
             f, pts, ok = frame_at(lie.exp_se3(xi))
-            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy)
+            ls = snapshot_keyframe(ls, f.desc_pm, f.valid, pts, ok, f.xy,
+                                   f.octave)
         # A genuinely new viewpoint (large rotation) should not verify.
         f, pts, ok = frame_at(lie.exp_se3(jnp.asarray([0, 0, 0, 0, 2.6, 0], jnp.float32)))
-        det = detect_loop(ls, f.desc_pm, f.valid, pts, ok, jax.random.PRNGKey(1))
+        det = _detect(cfg, ls, f, pts, ok, jax.random.PRNGKey(1))
         assert not bool(det.found)
 
 

@@ -131,12 +131,15 @@ class TestIdfScoring:
 
 class TestSim3Growth:
     def test_growth_recovers_damaged_correspondences(self):
+        from qsp_slam_tpu.core.camera import Intrinsics, project
+
         rng = np.random.default_rng(3)
         S = 120
         pts_src = rng.uniform(-2, 2, (S, 3)).astype(np.float32)
+        pts_src[:, 2] = rng.uniform(3.0, 10.0, S).astype(np.float32)
         desc_src = _rand_desc(rng, S)
         # ground-truth Sim3: rotation about y + translation
-        xi = jnp.asarray([0.3, -0.1, 0.2, 0.0, 0.35, 0.0], jnp.float32)
+        xi = jnp.asarray([0.3, -0.1, 0.2, 0.0, 0.15, 0.0], jnp.float32)
         T = np.asarray(lie.exp_se3(xi))
         pts_dst = (pts_src @ T[:3, :3].T + T[:3, 3]).astype(np.float32)
         # 40% of descriptors survive exactly; 60% damaged by 70 bit flips
@@ -146,22 +149,30 @@ class TestSim3Growth:
         damaged = rng.choice(S, int(0.6 * S), replace=False)
         desc_dst[damaged] = _flip_bits(desc_src[damaged], 70, rng)
 
+        intr = Intrinsics(jnp.float32(500.0), jnp.float32(500.0),
+                          jnp.float32(320.0), jnp.float32(240.0))
         snap = 128
         ls = empty_loop_state(kmax=2, snap=snap)
         pad = snap - S
+        uv_src = project(jnp.asarray(pts_src), intr)[0]
         ls = ls._replace(
             kf_desc=ls.kf_desc.at[0, :S].set(jnp.asarray(desc_src)),
             kf_pts_cam=ls.kf_pts_cam.at[0, :S].set(jnp.asarray(pts_src)),
             kf_pts_ok=ls.kf_pts_ok.at[0, :S].set(True),
+            kf_xy=ls.kf_xy.at[0, :S].set(uv_src),
+        )
+        pts_cur = jnp.asarray(
+            np.vstack([pts_dst, rng.uniform(5, 9, (pad, 3))]).astype(np.float32)
         )
         res, first = _match_and_solve_sim3(
             ls, jnp.int32(0),
             jnp.asarray(np.vstack([desc_dst, _rand_desc(rng, pad)])),
             jnp.ones(snap, bool),
-            jnp.asarray(np.vstack([pts_dst, rng.uniform(5, 9, (pad, 3))])
-                        .astype(np.float32)),
+            pts_cur,
             jnp.concatenate([jnp.ones(S, bool), jnp.zeros(pad, bool)]),
-            jax.random.PRNGKey(0), fix_scale=True,
+            project(pts_cur, intr)[0],
+            jnp.zeros(snap, jnp.int32),
+            jax.random.PRNGKey(0), True, intr,
         )
         assert bool(res.ok)
         n_first = int(jnp.sum(first.valid))
