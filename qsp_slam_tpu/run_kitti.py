@@ -158,6 +158,31 @@ def main(argv=None):
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
         save_trajectory_kitti(os.path.join(args.save_dir, "trajectory.txt"), est)
+        # Drive report: loop-closure evidence + scaling telemetry next to the
+        # trajectory (the `src/evo/` offline-report role, `src/evo/evo.h:88`)
+        # — `ate_rmse_m` is the FROZEN per-frame history (pre-correction);
+        # `kf_ate_rmse_m` is the live keyframe chain (post-correction), so
+        # the pair is the before/after-loop story.
+        report = dict(out)
+        report["loop_events"] = sysm.stats.get("loop_events", [])
+        report["loop_scan"] = sysm.stats.get("loop_scan", [])
+        report["capacity_events"] = sysm.stats.get("capacity_events", [])
+        report["resets"] = sysm.stats.get("resets", 0)
+        report["relocalizations"] = sysm.stats.get("relocalizations", 0)
+        det_ms = sysm.stats.get("det_ms", [])
+        if det_ms:
+            report["det_ms_median"] = float(np.median(det_ms))
+            report["det_keyframes"] = len(det_ms)
+        try:
+            import resource
+
+            report["peak_rss_mb"] = round(
+                resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0, 1
+            )
+        except Exception:
+            pass
+        with open(os.path.join(args.save_dir, "report.json"), "w") as f:
+            json.dump(report, f)
     print(json.dumps(out))
     return out
 

@@ -112,6 +112,35 @@ def snapshot_keyframe(
     )
 
 
+@partial(jax.jit, static_argnames=("num_feats",))
+def feature_points_from_matches(
+    pt_xyz: jax.Array,  # (N, 3) world map points
+    match_pt: jax.Array,  # (N,) int32 feature idx matched per map point
+    match_inlier: jax.Array,  # (N,) bool
+    Tcw: jax.Array,  # (4, 4)
+    num_feats: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Per-FEATURE camera-frame 3D from this frame's map-point matches.
+
+    The monocular keyframe snapshot seam: mono frames carry no depth, but
+    their tracked map points ARE 3D — scattering them onto the feature table
+    gives relocalization and loop verification the same geometry the RGB-D
+    snapshots get from depth (the reference's mono reloc/loops likewise use
+    the keyframe's MapPoints, `src/Tracking.cc:1589`, `src/Sim3Solver.cc:76`).
+    """
+    pc = lie.transform_points(Tcw, pt_xyz[None])[0]
+    tgt = jnp.where(match_inlier, match_pt, num_feats)
+    pts = (
+        jnp.zeros((num_feats + 1, 3), jnp.float32)
+        .at[tgt].set(pc, mode="drop")[:num_feats]
+    )
+    ok = (
+        jnp.zeros(num_feats + 1, bool)
+        .at[tgt].set(match_inlier, mode="drop")[:num_feats]
+    )
+    return pts, ok
+
+
 def grow_loop_state(ls: LoopState, kmax: int) -> LoopState:
     """Host-side growth matching `map.grow_map` (snapshot slots track KF ids,
     so the two stores must grow together)."""

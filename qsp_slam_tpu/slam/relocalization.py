@@ -28,6 +28,55 @@ from .place_recognition import bow_signature, query_topk
 from .tracking import FrameData, TrackingConfig
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def track_reference_keyframe(
+    ls: LoopState,
+    kf_Tcw: jax.Array,  # (Kmax, 4, 4)
+    ref_kf: jax.Array,  # int32 — the reference (most recent) keyframe id
+    frame: FrameData,
+    Tcw_last: jax.Array,  # (4, 4) last frame's pose — the optimization seed
+    cfg: TrackingConfig,
+):
+    """Middle recovery tier between a failed motion-model track and full
+    relocalization.
+
+    Parity: `Tracking::TrackReferenceKeyFrame` (`src/Tracking.cc:881-989`) —
+    BoW-bucketed descriptor match against the reference keyframe's points,
+    then a pose solve anchored near the LAST frame's pose (no motion
+    model).  One dispatch; a single bad velocity prediction no longer costs
+    a full top-k relocalization pass or a coasted frame.
+
+    TPU shape: the reference trusts `PoseOptimization` to digest the
+    ungated BoW match, which works at its ~15% outlier rate; the mutual
+    word-bucket match here carries more gross outliers (measured ~40% on
+    rendered scenes), beyond what LM + Huber converges through — so the
+    solve is the existing dual-pool PnP-RANSAC with the last camera center
+    as the anti-ambiguity hint, LM-polished inside.
+
+    Returns a `PnPResult`; callers accept on inlier count.
+    """
+    from ..frontend.matcher import TH_LOW, mutual_match, word_mask
+    from ..frontend.pnp import pnp_ransac
+    from .place_recognition import quantize_words
+
+    r = jnp.clip(ref_kf, 0)
+    desc_kf = ls.kf_desc[r]
+    ok_kf = ls.kf_pts_ok[r]
+    wm = word_mask(quantize_words(frame.feats.desc_pm), quantize_words(desc_kf))
+    m = mutual_match(
+        frame.feats.desc_pm, frame.feats.valid, desc_kf, ok_kf,
+        max_dist=TH_LOW, ratio=0.85, pair_mask=wm,
+    )
+    T_wc = lie.inv_se3(kf_Tcw[r])
+    pts_w = lie.transform_points(T_wc, ls.kf_pts_cam[r][None])[0]
+    last_center = lie.inv_se3(Tcw_last)[:3, 3]
+    return pnp_ransac(
+        pts_w[jnp.clip(m.idx, 0)], frame.feats.xy, m.valid, cfg.intr,
+        jax.random.fold_in(jax.random.PRNGKey(41), ref_kf),
+        center_hint=last_center, max_center_dist=8.0,
+    )
+
+
 @partial(jax.jit, static_argnames=("cfg", "k"))
 def relocalize(
     ls: LoopState,

@@ -264,14 +264,42 @@ class SlamSystem:
                 tracked_close=int(n_close_trk),
                 untracked_close=int(n_close_new),
             ):
-                self._insert_keyframe(frame, res)
+                if self._sensor == "mono":
+                    self._insert_mono_keyframe(frame, res)
+                else:
+                    self._insert_keyframe(frame, res)
         else:
-            # Lost: attempt relocalization against the keyframe database
-            # (`Tracking::Relocalization` path); fall back to the constant-
-            # velocity prediction if it fails.
+            # Lost.  Recovery tiers, mirroring the reference's `Track()`
+            # state machine (`src/Tracking.cc:414-627`):
+            #   1. TrackReferenceKeyFrame — BoW match against the newest
+            #      keyframe's snapshot, seeded from the LAST pose (the
+            #      motion model, not the map, was wrong);
+            #   2. full top-k relocalization;
+            #   3. early-map reset / coast on the prediction.
             self._lost_streak = getattr(self, "_lost_streak", 0) + 1
             relocated = False
-            if self.enable_relocalization and int(self.loop_state.db.count) > 0:
+            if int(self.loop_state.db.count) > 0:
+                from .relocalization import track_reference_keyframe
+
+                ref_kf = int(self.map_state.num_kfs) - 1
+                r = track_reference_keyframe(
+                    self.loop_state, self.map_state.kf_Tcw,
+                    jnp.int32(ref_kf), frame, jnp.asarray(self.Tcw), cfg,
+                )
+                if int(r.num_inliers) >= cfg.min_track_inliers:
+                    Tr = np.asarray(r.Tcw)
+                    self.velocity = (
+                        Tr @ np.linalg.inv(self.Tcw)
+                    ).astype(np.float32)
+                    self.Tcw = Tr
+                    relocated = True
+                    self._lost_streak = 0
+                    self.frames_since_kf += 1
+                    self.stats.setdefault("ref_kf_recoveries", 0)
+                    self.stats["ref_kf_recoveries"] += 1
+            if not relocated and self.enable_relocalization and int(
+                self.loop_state.db.count
+            ) > 0:
                 from .relocalization import relocalize
 
                 r = relocalize(
@@ -296,7 +324,14 @@ class SlamSystem:
                     and int(self.map_state.num_kfs) <= 5
                 ):
                     self.reset()
-                    self._initialize(frame)
+                    if self._sensor == "mono":
+                        # Monocular re-seed: back to the two-view bootstrap
+                        # (an RGB-D-style depth init has nothing to work
+                        # with at zero depth).
+                        self._mono_ref = frame
+                        self._mono_ref_age = 0
+                    else:
+                        self._initialize(frame)
                     self.stats["frames"] += 1
                     self.trajectory.append(self.Tcw.copy())
                     return self.Tcw
@@ -566,13 +601,19 @@ class SlamSystem:
         self._loop_closing(frame, kf_id)
 
     # ------------------------------------------------------------------
-    def _loop_closing(self, frame: FrameData, kf_id: int):
+    def _loop_closing(self, frame: FrameData, kf_id: int,
+                      pts_cam=None, pts_ok=None):
         """Snapshot the keyframe (always — the store also feeds mono
         triangulation and relocalization), then query for loops and correct
-        on a hit (`LoopClosing::Run` same-thread equivalent)."""
+        on a hit (`LoopClosing::Run` same-thread equivalent).
+
+        `pts_cam`/`pts_ok` override the default depth backprojection — the
+        monocular path supplies camera-frame positions of the frame's
+        TRACKED MAP POINTS instead (mono frames have no depth)."""
         cfg = self.cfg
-        pts_cam = backproject(frame.feats.xy, frame.depth, cfg.intr)
-        pts_ok = frame.depth > 0.0
+        if pts_cam is None:
+            pts_cam = backproject(frame.feats.xy, frame.depth, cfg.intr)
+            pts_ok = frame.depth > 0.0
         self.loop_state = snapshot_keyframe(
             self.loop_state, frame.feats.desc_pm, frame.feats.valid,
             pts_cam, pts_ok, frame.feats.xy, frame.feats.octave,
@@ -728,7 +769,14 @@ class SlamSystem:
         `src/Tracking_util.cc:38`).
         """
         if callable(detections):
+            # Keyframe-time detector cost is its own telemetry channel
+            # (`src/Tracking.cc:1236-1307` times detection separately): on a
+            # long drive the lazy provider's per-KF ms must be visible.
+            t_det = time.perf_counter()
             detections = detections()
+            self.stats.setdefault("det_ms", []).append(
+                (time.perf_counter() - t_det) * 1e3
+            )
         cfg = self.cfg
         Tcw = jnp.asarray(self.Tcw)
         sparse = self._sensor == "stereo" and frame is not None
@@ -1041,8 +1089,11 @@ class SlamSystem:
     # Monocular mode (`System::TrackMonocular` equivalent)
     # ------------------------------------------------------------------
     def track_mono(self, gray, detections=None) -> np.ndarray:
-        """Monocular frame: two-view bootstrap, then the common tracking loop
-        with triangulation-based map growth (scale is the mono gauge).
+        """Monocular frame: two-view bootstrap, then the SAME tracking spine
+        as RGB-D/stereo — fused dispatch, consistency gate, reference-KF
+        fallback, relocalization, early reset, localization-only — via
+        `_post_track` (the reference's `Track()` state machine is sensor-
+        uniform, `src/Tracking.cc:384-627`; round-4 mono had none of it).
 
         `detections` (optional): the replay-seam dict — monocular object
         landmarks are spawned from bbox + ground + aspect priors
@@ -1051,36 +1102,28 @@ class SlamSystem:
         self._pending_detections = detections
         self._ensure_capacity()
         cfg = self.cfg
-        zero_depth = np.zeros((cfg.height, cfg.width), np.float32)
-        frame = process_frame(jnp.asarray(gray), jnp.asarray(zero_depth), cfg)
+        if getattr(self, "_zero_depth", None) is None or (
+            self._zero_depth.shape != (cfg.height, cfg.width)
+        ):
+            self._zero_depth = jnp.zeros((cfg.height, cfg.width), jnp.float32)
 
         if not self.initialized:
+            if self.localization_only:
+                # Localization against a frozen map requires a map.
+                self.trajectory.append(self.Tcw.copy())
+                return self.Tcw
+            frame = process_frame(jnp.asarray(gray), self._zero_depth, cfg)
             self._mono_bootstrap(frame)
             self.trajectory.append(self.Tcw.copy())
             return self.Tcw
 
+        t0 = time.perf_counter()
         Tcw_pred = self.velocity @ self.Tcw
-        res: TrackResult = track_frame(
-            self.map_state, jnp.asarray(Tcw_pred), frame, cfg
+        frame, res = process_and_track(
+            jnp.asarray(gray), self._zero_depth,
+            self.map_state, jnp.asarray(Tcw_pred), cfg,
         )
-        Tcw_new, num_inliers = jax.device_get((res.Tcw, res.num_inliers))
-        Tcw_new, num_inliers = np.asarray(Tcw_new), int(num_inliers)
-        if num_inliers >= cfg.min_track_inliers:
-            self.velocity = (Tcw_new @ np.linalg.inv(self.Tcw)).astype(np.float32)
-            self.Tcw = Tcw_new
-            self.frames_since_kf += 1
-            if getattr(self, "_kf_fresh", False):
-                self.inliers_at_last_kf = max(self.inliers_at_last_kf, num_inliers)
-                self._kf_fresh = False
-            if need_keyframe(
-                self.frames_since_kf, num_inliers, self.inliers_at_last_kf, cfg
-            ):
-                self._insert_mono_keyframe(frame, res)
-        else:
-            self.Tcw = np.asarray(Tcw_pred)
-        self.stats["frames"] += 1
-        self.trajectory.append(self.Tcw.copy())
-        return self.Tcw
+        return self._post_track(frame, res, Tcw_pred, t0)
 
     def _mono_bootstrap(self, frame: FrameData):
         from .mono import mono_initialize
@@ -1180,7 +1223,15 @@ class SlamSystem:
             t0 = time.perf_counter()
             self._process_objects_mono(self._pending_detections)
             self.stats["obj_ms"].append((time.perf_counter() - t0) * 1e3)
-        self._loop_closing(frame, kf_id_i)
+        # Snapshot with the tracked map points' camera-frame positions so
+        # mono relocalization / loop verification have 3D to work with.
+        from .loop_closing import feature_points_from_matches
+
+        pts_cam, pts_ok = feature_points_from_matches(
+            self.map_state.pt_xyz, res.match_pt, res.match_inlier,
+            jnp.asarray(self.Tcw), frame.feats.capacity,
+        )
+        self._loop_closing(frame, kf_id_i, pts_cam=pts_cam, pts_ok=pts_ok)
 
     def _process_objects_mono(self, detections):
         """Monocular keyframe object pipeline: ground plane from the sparse
