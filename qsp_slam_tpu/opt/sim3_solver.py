@@ -113,6 +113,112 @@ def ransac_sim3(
     )
 
 
+@partial(jax.jit, static_argnames=("with_scale", "chi2"))
+def sim3_image_inliers(
+    T: jax.Array,
+    pts_src: jax.Array,
+    pts_dst: jax.Array,
+    uv_src: jax.Array,
+    uv_dst: jax.Array,
+    sigma2_src: jax.Array,
+    sigma2_dst: jax.Array,
+    valid: jax.Array,
+    intr,
+    with_scale: bool = False,
+    chi2: float = 9.21,
+) -> jax.Array:
+    """(N,) bool — the `Sim3Solver::CheckInliers` two-sided image gate for a
+    given transform (shared by RANSAC scoring and post-refinement recount)."""
+    inv = lie.inv_sim3 if with_scale else lie.inv_se3
+    p_dst = lie.transform_points(T, pts_src[None])[0]
+    uv1, z1 = project(p_dst, intr)
+    e1 = jnp.sum((uv1 - uv_dst) ** 2, axis=-1)
+    p_src = lie.transform_points(inv(T), pts_dst[None])[0]
+    uv2, z2 = project(p_src, intr)
+    e2 = jnp.sum((uv2 - uv_src) ** 2, axis=-1)
+    return (
+        (e1 < chi2 * sigma2_dst) & (e2 < chi2 * sigma2_src)
+        & (z1 > 0) & (z2 > 0) & valid
+    )
+
+
+@partial(jax.jit, static_argnames=("with_scale", "iters"))
+def refine_sim3_reproj(
+    T0: jax.Array,  # (4, 4) initial dst <- src similarity
+    pts_src: jax.Array,  # (N, 3)
+    pts_dst: jax.Array,  # (N, 3)
+    uv_src: jax.Array,  # (N, 2)
+    uv_dst: jax.Array,  # (N, 2)
+    sigma2_src: jax.Array,  # (N,)
+    sigma2_dst: jax.Array,  # (N,)
+    weights: jax.Array,  # (N,) >= 0 — inlier mask / weights
+    intr,
+    with_scale: bool = False,
+    iters: int = 10,
+) -> jax.Array:
+    """Gauss-Newton Sim3 polish minimizing REPROJECTION error in both frames.
+
+    Parity: `Optimizer::OptimizeSim3` (`src/Optimizer.cc:1100`) — the
+    reference never ships the Horn solution into the pose graph; it
+    re-optimizes the Sim3 against the two-sided image residuals.  The Horn
+    3D least-squares is dominated by far points whose stereo depth noise is
+    meters; image-space GN restores the loop edge to sub-pixel consistency
+    (a ~0.5 m loop-edge error DISTORTS the corrected chain more than the
+    drift it removes on short circuits — measured on the miniature-circuit
+    regression).
+
+    Parameters: delta in se(3) (+ log-scale when `with_scale`), applied as
+    T = exp(delta) @ T0.  Damped GN with accept-if-better, fixed trip count.
+    """
+    P = 7 if with_scale else 6
+    w = weights / jnp.maximum(jnp.sum(weights), 1e-9)
+    isig_d = jnp.sqrt(w / sigma2_dst)
+    isig_s = jnp.sqrt(w / sigma2_src)
+
+    def apply_T(p):
+        T = lie.exp_se3(p[:6]) @ T0
+        if with_scale:
+            T = T.at[:3, :3].multiply(jnp.exp(p[6]))
+        return T
+
+    def residuals(p):
+        T = apply_T(p)
+        pd = lie.transform_points(T, pts_src[None])[0]
+        uv1, z1 = project(pd, intr)
+        r1 = (uv1 - uv_dst) * isig_d[:, None] * (z1 > 0.0)[:, None]
+        Ti = lie.inv_sim3(T) if with_scale else lie.inv_se3(T)
+        ps = lie.transform_points(Ti, pts_dst[None])[0]
+        uv2, z2 = project(ps, intr)
+        r2 = (uv2 - uv_src) * isig_s[:, None] * (z2 > 0.0)[:, None]
+        return jnp.concatenate([r1.reshape(-1), r2.reshape(-1)])
+
+    def cost(p):
+        r = residuals(p)
+        return jnp.sum(r * r)
+
+    def step(carry, _):
+        p, lam, c = carry
+        r = residuals(p)
+        J = jax.jacfwd(residuals)(p)  # (4N, P)
+        H = J.T @ J + lam * jnp.eye(P, dtype=r.dtype)
+        delta = jnp.linalg.solve(H, -(J.T @ r))
+        p_try = p + delta
+        c_try = cost(p_try)
+        ok = c_try < c
+        return (
+            jnp.where(ok, p_try, p),
+            jnp.clip(jnp.where(ok, lam * 0.33, lam * 3.0), 1e-9, 1e3),
+            jnp.where(ok, c_try, c),
+        ), None
+
+    p0 = jnp.zeros(P, pts_src.dtype)
+    (p_fin, _, _), _ = jax.lax.scan(
+        step, (p0, jnp.asarray(1e-4, pts_src.dtype), cost(p0)), None,
+        length=iters,
+    )
+    return apply_T(p_fin)
+
+
 @partial(jax.jit, static_argnames=("num_hyp", "with_scale", "chi2"))
 def ransac_sim3_reproj(
     pts_src: jax.Array,  # (N, 3) camera-frame points in the SRC frame

@@ -28,7 +28,7 @@ from ..core.camera import project
 from ..frontend import matcher
 from ..frontend.orb import DESC_BITS
 from ..opt.pose_graph import PoseGraphEdges, optimize_pose_graph, relative_measurement
-from ..opt.sim3_solver import ransac_sim3_reproj
+from ..opt.sim3_solver import ransac_sim3_reproj, refine_sim3_reproj, sim3_image_inliers
 from .map import MapState
 from .objects import ObjectTable, merge_duplicates
 from .place_recognition import (
@@ -323,6 +323,34 @@ def _match_and_solve_sim3(
         num_inliers=jnp.where(better, res2.num_inliers, res.num_inliers),
         ok=res.ok | (better & res2.ok),
     )
+
+    # OptimizeSim3 polish (`src/Optimizer.cc:1100` role): the Horn solve is
+    # 3D least-squares — far stereo points with meters of depth noise pull
+    # the loop-edge translation off by ~0.5 m, which the pose graph then
+    # bakes into the whole chain.  Re-optimize against the two-sided image
+    # residuals on the winning match set and keep the refined edge when it
+    # explains at least as many matches.
+    idx_w = jnp.where(better, idx2, j)
+    valid_w = jnp.where(better, valid2, m.valid)
+    jw = jnp.clip(idx_w, 0)
+    T_pol = refine_sim3_reproj(
+        res.T_ds, cand_pts[jw], pts_cam, cand_xy[jw], xy,
+        sig2_cand[jw], sig2_cur, res.inliers.astype(jnp.float32), intr,
+        with_scale=not fix_scale,
+    )
+    inl_pol = sim3_image_inliers(
+        T_pol, cand_pts[jw], pts_cam, cand_xy[jw], xy,
+        sig2_cand[jw], sig2_cur, valid_w, intr,
+        with_scale=not fix_scale,
+    )
+    n_pol = jnp.sum(inl_pol)
+    keep = res.ok & (n_pol >= res.num_inliers)
+    res = type(res)(
+        T_ds=jnp.where(keep, T_pol, res.T_ds),
+        inliers=jnp.where(keep, inl_pol, res.inliers),
+        num_inliers=jnp.where(keep, n_pol, res.num_inliers),
+        ok=res.ok,
+    )
     return res, m
 
 
@@ -387,15 +415,9 @@ def correct_loop(
     poses = m.kf_Tcw  # vertices: T_iw = Tcw per keyframe
 
     ids = jnp.arange(Kmax, dtype=jnp.int32)
-    # odometry edges (i, i+1) for i+1 < K
-    odo_i = ids
-    odo_j = jnp.clip(ids + 1, 0, Kmax - 1)
-    odo_w = ((odo_j < K) & (odo_i < odo_j)).astype(jnp.float32)
-
-    # Covisibility edges: shared-valid-observation counts between keyframe
-    # pairs as one int8 MXU matmul over the per-KF point incidence, then the
-    # strongest non-adjacent pairs (the reference's >=100-weight covisible
-    # edges, `src/Optimizer.cc:855`).
+    # Covisibility counts: shared-valid-observation counts between keyframe
+    # pairs as one int8 MXU matmul over the per-KF point incidence
+    # (the reference's covisibility graph, `src/Optimizer.cc:855`).
     Nmax = m.pt_xyz.shape[0]
     seen = jnp.zeros((Kmax, Nmax), jnp.int8).at[
         jnp.where(m.ob_valid, m.ob_kf, 0),
@@ -404,6 +426,24 @@ def correct_loop(
     covis = jax.lax.dot_general(
         seen, seen, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )  # (Kmax, Kmax) shared-point counts
+
+    # Odometry edges (i, i+1) for i+1 < K, COVISIBILITY-WEIGHTED: a
+    # consecutive pair sharing no observations got its relative pose from a
+    # tracking handoff with no common structure — on a revisit that is the
+    # signature of a sheet jump between the old and the double-mapped new
+    # map, and its measurement is meaningless.  Uniform weights let two such
+    # glitch edges (measured: 2.7 m relative error, covis 0) spread their
+    # error over the whole chain; scaling by shared-point count (full trust
+    # at >=100, the reference's essential-graph threshold) makes the pose
+    # graph break AT the glitch instead (mini-circuit regression: corrected
+    # kf-ATE 1.08 -> 0.67).
+    odo_i = ids
+    odo_j = jnp.clip(ids + 1, 0, Kmax - 1)
+    odo_covis = covis[odo_i, odo_j].astype(jnp.float32)
+    odo_w = ((odo_j < K) & (odo_i < odo_j)).astype(jnp.float32) * jnp.clip(
+        odo_covis / 100.0, 1e-4, 1.0
+    )
+
     pair_ok = (
         (ids[None, :] > ids[:, None] + 1)  # above diagonal, skip adjacent
         & (ids[None, :] < K)
@@ -416,7 +456,7 @@ def correct_loop(
     top_c, top_idx = jax.lax.top_k(flat, E_cov)
     cov_i = (top_idx // Kmax).astype(jnp.int32)
     cov_j = (top_idx % Kmax).astype(jnp.int32)
-    cov_w = jnp.where(top_c > 0, jnp.clip(top_c / 50.0, 0.2, 2.0), 0.0)
+    cov_w = jnp.where(top_c > 0, jnp.clip(top_c / 100.0, 0.2, 1.0), 0.0)
 
     all_i = jnp.concatenate([odo_i, cov_i, cur_kf[None]])
     all_j = jnp.concatenate([odo_j, cov_j, det.match_kf[None]])
