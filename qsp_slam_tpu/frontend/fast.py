@@ -87,6 +87,48 @@ def nms3x3(score: jax.Array) -> jax.Array:
     return jnp.where(score >= m, score, 0.0)
 
 
+def _cell_candidates(score: jax.Array, cell: int, cell_cap: int):
+    """Per-cell top-`cell_cap` NMS candidates -> (scores (C*cap,), x, y).
+
+    Uses `approx_max_k` on TPU (the exact sort of 1024-wide cells is the
+    single most expensive op in the extractor; the approximate variant is
+    bin-exact for the top few entries we keep) and exact `top_k` elsewhere.
+    """
+    H, W = score.shape
+    Hp = -(-H // cell) * cell
+    Wp = -(-W // cell) * cell
+    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
+    cells = sp.reshape(Hp // cell, cell, Wp // cell, cell).transpose(0, 2, 1, 3)
+    cells = cells.reshape(-1, cell * cell)  # (C, cell*cell)
+
+    if jax.default_backend() == "tpu":
+        top_s, top_i = jax.lax.approx_max_k(cells, cell_cap)
+    else:
+        top_s, top_i = jax.lax.top_k(cells, cell_cap)
+    cy = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) // (Wp // cell)
+    cx = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) % (Wp // cell)
+    py = cy * cell + top_i // cell
+    px = cx * cell + top_i % cell
+    return top_s.reshape(-1), px.reshape(-1), py.reshape(-1)
+
+
+def _select_budget(flat_s, flat_x, flat_y, max_keypoints, dtype):
+    """Global top-K by score over the pooled cell candidates."""
+    # Small levels can expose fewer cell candidates than the level budget
+    # (cells * cell_cap < max_keypoints); top_k requires k <= size, so take
+    # what exists and pad the fixed-capacity table with invalid rows.
+    k = min(max_keypoints, flat_s.shape[0])
+    k_s, k_i = jax.lax.top_k(flat_s, k)
+    if k < max_keypoints:
+        pad = max_keypoints - k
+        k_s = jnp.concatenate([k_s, jnp.zeros(pad, k_s.dtype)])
+        k_i = jnp.concatenate([k_i, jnp.zeros(pad, k_i.dtype)])
+    xy = jnp.stack(
+        [flat_x[k_i].astype(dtype), flat_y[k_i].astype(dtype)], axis=-1
+    )
+    return Keypoints(xy=xy, score=k_s, valid=k_s > 0.0)
+
+
 def detect_keypoints(
     img: jax.Array,
     threshold: float,
@@ -100,38 +142,41 @@ def detect_keypoints(
     high-texture region from monopolizing the budget, giving spatially spread
     features (`ORBextractor::DistributeOctTree` semantics).
     """
-    H, W = img.shape
-    # Fused Pallas kernel on TPU (one VMEM pass), XLA formulation elsewhere.
     from ..ops.fast_pallas import fast_score_nms_auto
 
     score = fast_score_nms_auto(img, threshold)
+    flat_s, flat_x, flat_y = _cell_candidates(score, cell, cell_cap)
+    return _select_budget(flat_s, flat_x, flat_y, max_keypoints, img.dtype)
 
-    # Pad to a multiple of the cell size and tile into cells.
-    Hp = -(-H // cell) * cell
-    Wp = -(-W // cell) * cell
-    sp = jnp.pad(score, ((0, Hp - H), (0, Wp - W)))
-    cells = sp.reshape(Hp // cell, cell, Wp // cell, cell).transpose(0, 2, 1, 3)
-    cells = cells.reshape(-1, cell * cell)  # (C, cell*cell)
 
-    top_s, top_i = jax.lax.top_k(cells, cell_cap)  # (C, cap)
-    cy = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) // (Wp // cell)
-    cx = jax.lax.broadcasted_iota(jnp.int32, top_s.shape, 0) % (Wp // cell)
-    py = cy * cell + top_i // cell
-    px = cx * cell + top_i % cell
+def detect_keypoints_two_threshold(
+    img: jax.Array,
+    threshold: float,
+    threshold_min: float,
+    max_keypoints: int,
+    cell: int = 32,
+    cell_cap: int = 8,
+) -> Keypoints:
+    """Strict detection with the min-threshold fallback in ONE selection.
 
-    flat_s = top_s.reshape(-1)
-    flat_x = px.reshape(-1)
-    flat_y = py.reshape(-1)
-    # Small levels can expose fewer cell candidates than the level budget
-    # (cells * cell_cap < max_keypoints); top_k requires k <= size, so take
-    # what exists and pad the fixed-capacity table with invalid rows.
-    k = min(max_keypoints, flat_s.shape[0])
-    k_s, k_i = jax.lax.top_k(flat_s, k)
-    if k < max_keypoints:
-        pad = max_keypoints - k
-        k_s = jnp.concatenate([k_s, jnp.zeros(pad, k_s.dtype)])
-        k_i = jnp.concatenate([k_i, jnp.zeros(pad, k_i.dtype)])
-    xy = jnp.stack(
-        [flat_x[k_i].astype(img.dtype), flat_y[k_i].astype(img.dtype)], axis=-1
-    )
-    return Keypoints(xy=xy, score=k_s, valid=k_s > 0.0)
+    Parity: `ORBextractor::ComputeKeyPointsOctTree` re-detects a cell at
+    `minThFAST` only when `iniThFAST` found nothing
+    (`src/ORBextractor.cc:792-817`).  The round-4 formulation ran the FULL
+    detect pipeline twice per level and blended — doubling the top-k work,
+    the extractor's dominant cost.  Here the candidate set is drawn ONCE
+    from the min-threshold surface (a superset of the strict corners: the
+    arc test is monotone in t), the strict score is gathered at those
+    pixels, and the blend picks which score ranks the global budget.
+    """
+    from ..ops.fast_pallas import fast_score_nms_auto
+
+    s_min = fast_score_nms_auto(img, threshold_min)
+    s_strict = fast_score_nms_auto(img, threshold)
+    flat_s, flat_x, flat_y = _cell_candidates(s_min, cell, cell_cap)
+    strict_at = s_strict[flat_y, flat_x]
+    # Strict-mode validity at the candidate pixels (min-NMS maxima): enough
+    # strict corners -> rank/keep by the strict score, else min fallback.
+    n_strict = jnp.sum(strict_at > 0.0)
+    use_min = n_strict < (max_keypoints // 2)
+    rank = jnp.where(use_min, flat_s, strict_at)
+    return _select_budget(rank, flat_x, flat_y, max_keypoints, img.dtype)
