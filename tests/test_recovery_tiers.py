@@ -108,3 +108,19 @@ def test_mono_localization_only_freezes_map():
     assert int(sysm.map_state.num_pts) == pts
     assert sysm.stats.get("resets", 0) == 0
     assert ok >= 15  # localization actually tracks the frozen map
+
+
+def test_feature_points_from_matches_scatter():
+    """Mono snapshot seam: tracked map points scatter onto the feature
+    table (camera frame), invalid matches drop, out-of-range drops."""
+    import jax.numpy as jnp
+    from qsp_slam_tpu.slam.loop_closing import feature_points_from_matches
+
+    pt_xyz = jnp.asarray([[0.0, 0.0, 2.0], [1.0, 0.0, 3.0], [0.0, 1.0, 4.0]])
+    match_pt = jnp.asarray([1, -1, 5], jnp.int32)  # pt0->feat1, pt2->feat5(oob)
+    match_inlier = jnp.asarray([True, False, True])
+    Tcw = jnp.eye(4).at[0, 3].set(0.5)
+    pts, ok = feature_points_from_matches(pt_xyz, match_pt, match_inlier, Tcw, 4)
+    assert pts.shape == (4, 3) and ok.shape == (4,)
+    assert bool(ok[1]) and int(ok.sum()) == 1  # only the in-range inlier
+    np.testing.assert_allclose(np.asarray(pts[1]), [0.5, 0.0, 2.0], atol=1e-6)
