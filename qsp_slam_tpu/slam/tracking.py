@@ -357,71 +357,6 @@ def process_and_track_stereo(
     return frame, track_frame(m, Tcw_pred, frame, cfg)
 
 
-class ChunkResult(NamedTuple):
-    """Per-frame outputs of a tracked chunk (leading axis = chunk frame)."""
-
-    Tcw: jax.Array  # (C, 4, 4)
-    num_inliers: jax.Array  # (C,) int32
-    ok: jax.Array  # (C,) bool — accepted by the in-jit consistency gate
-    tracked_close: jax.Array  # (C,) int32
-    untracked_close: jax.Array  # (C,) int32
-    match_pt: jax.Array  # (C, N_map) int32
-    match_inlier: jax.Array  # (C, N_map) bool
-    vel: jax.Array  # (4, 4) final velocity model
-    frames: FrameData  # stacked FrameData (leading axis C)
-
-
-@partial(jax.jit, static_argnames=("cfg",))
-def track_chunk(
-    m: MapState,
-    Tcw0: jax.Array,
-    vel0: jax.Array,
-    grays: jax.Array,  # (C, H, W) uint8 or f32
-    depths: jax.Array,  # (C, H, W) uint16 or f32
-    cfg: TrackingConfig,
-) -> ChunkResult:
-    """Micro-batched tracking: C frames processed + tracked in ONE dispatch.
-
-    The TPU-native replacement for the reference's thread overlap
-    (SURVEY.md §2.7): tracking is inherently serial per frame, so the chunk
-    runs a `lax.scan` over frames — velocity model, consistency gate, and
-    accept/coast logic all in-jit — amortizing the tunnel's per-dispatch
-    overhead over C frames.  The map is FROZEN within a chunk (frames match
-    against the state at chunk start), mirroring the reference's
-    asynchronous LocalMapping whose map updates also lag tracking by a few
-    frames.  Keyframe decisions stay on the host, made after the chunk from
-    the returned per-frame census; `frames`/`match_*` rows feed
-    `keyframe_insertion` for whichever frame the policy picks.
-    """
-
-    def body(carry, gd):
-        Tcw, vel = carry
-        g, d = gd
-        frame = process_frame(g, d, cfg)
-        pred = vel @ Tcw
-        res = track_frame(m, pred, frame, cfg)
-        ok = (
-            (res.num_inliers >= cfg.min_track_inliers)
-            & (res.pred_dev_t < 0.5)
-            & (res.pred_dev_r < 0.5)
-        )
-        Tnew = jnp.where(ok, res.Tcw, pred)
-        # Velocity: refresh on accept, coast unchanged on loss (same policy
-        # as the host loop in SlamSystem.track_rgbd).
-        vel_new = jnp.where(ok, Tnew @ lie.inv_se3(Tcw), vel)
-        out = (Tnew, res.num_inliers, ok, res.tracked_close,
-               res.untracked_close, res.match_pt, res.match_inlier, frame)
-        return (Tnew, vel_new), out
-
-    (_, vel_f), outs = jax.lax.scan(body, (Tcw0, vel0), (grays, depths))
-    (Tcw_c, inl, ok, tc, uc, mpt, minl, frames) = outs
-    return ChunkResult(
-        Tcw=Tcw_c, num_inliers=inl, ok=ok, tracked_close=tc,
-        untracked_close=uc, match_pt=mpt, match_inlier=minl,
-        vel=vel_f, frames=frames,
-    )
-
-
 @partial(jax.jit, static_argnames=("cfg",))
 def keyframe_insertion(
     m: MapState,
