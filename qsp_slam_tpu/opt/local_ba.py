@@ -10,6 +10,7 @@ update so the whole optimization is ONE jitted XLA program.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -84,61 +85,85 @@ def _lm_stage(
         )
         w_row = row_mask * (edges.inv_sigma2 * w_edge)[:, None]
         blocks = build_normal_blocks_fast(
-            r, Jc, Jp, w_row, edges.kf_idx, slot_table, K, cam_fixed
+            r, Jc, Jp, w_row, edges.kf_idx, slot_table, K, cam_fixed,
+            low_precision=os.environ.get("QSP_BA_BF16") == "1",
         )
         return cost, blocks
 
-    def step(Tcw_, points_, blocks_, lmbda, cost):
-        delta_c, delta_p = solve_schur(blocks_, lmbda, cam_fixed)
-        Tcw_try = lie.exp_se3(delta_c) @ Tcw_
-        points_try = points_ + delta_p
-        new_cost, blocks_try = eval_at(Tcw_try, points_try)
+    if iters == 0:
+        # Cost-only query (global BA's final report): one residual pass.
+        r, _, _, row_mask, _ = residuals_and_jacobians(
+            Tcw, points, edges, intr, baseline_fx
+        )
+        return Tcw, points, _total_cost(
+            r, row_mask, edges.inv_sigma2, use_huber, delta2
+        )
+
+    def step(acc, prop):
+        """Solve-at-end trip: ONE eval of the current proposal, accept test
+        against the carried best, then solve the NEXT proposal from the
+        accepted state's carried blocks.  Exactly one residual+Jacobian
+        pass and one Schur solve per trip — no separate accept-test pass,
+        no entry build (the first trip's eval IS the entry evaluation,
+        accepted against cost=+inf)."""
+        Tcw_a, points_a, blocks_a, lmbda, cost = acc
+        Tcw_p, points_p = prop
+        new_cost, blocks_p = eval_at(Tcw_p, points_p)
         accept = new_cost < cost
         sel = lambda a, b: jnp.where(accept, a, b)
-        Tcw_next = sel(Tcw_try, Tcw_)
-        points_next = sel(points_try, points_)
-        blocks_next = jax.tree.map(sel, blocks_try, blocks_)
-        cost_next = jnp.where(accept, new_cost, cost)
-        lmbda_next = jnp.clip(
+        Tcw_n = sel(Tcw_p, Tcw_a)
+        points_n = sel(points_p, points_a)
+        blocks_n = (
+            blocks_p if blocks_a is None
+            else jax.tree.map(sel, blocks_p, blocks_a)
+        )
+        cost_n = jnp.where(accept, new_cost, cost)
+        lmbda_n = jnp.clip(
             jnp.where(accept, lmbda * 0.33, lmbda * 3.0), 1e-7, 1e6
         )
+        delta_c, delta_p = solve_schur(blocks_n, lmbda_n, cam_fixed)
+        prop_n = (lie.exp_se3(delta_c) @ Tcw_n, points_n + delta_p)
         # Converged when an ACCEPTED step barely moves the cost: further
         # iterations are pure device time (in steady-state tracking most
         # local-BA windows start near the optimum, so the fixed 5+10
-        # schedule mostly burns converged passes).
-        converged = accept & (cost - new_cost <= early_exit_rtol * cost)
-        return Tcw_next, points_next, blocks_next, lmbda_next, cost_next, converged
+        # schedule mostly burns converged passes).  The first trip (entry
+        # evaluation vs +inf) never counts as converged.
+        converged = accept & (cost - new_cost <= early_exit_rtol * cost) & \
+            jnp.isfinite(cost)
+        return (Tcw_n, points_n, blocks_n, lmbda_n, cost_n), prop_n, converged
 
-    cost0, blocks0 = eval_at(Tcw, points)
     lmbda0 = jnp.asarray(init_lambda, Tcw.dtype)
+    inf0 = jnp.asarray(jnp.inf, Tcw.dtype)
+    # First trip outside the loop: it defines the blocks pytree structure
+    # (carry must be structure-stable inside while/scan).
+    acc, prop, _ = step((Tcw, points, None, lmbda0, inf0), (Tcw, points))
+
     if early_exit_rtol > 0.0:
-        # Dynamic trip count (the reference's g2o terminateAction role):
-        # same per-iteration math as the scan below, exits on convergence.
+        # Dynamic trip count (the reference's g2o terminateAction role).
         def cond(carry):
             return (carry[-2] < iters) & ~carry[-1]
 
         def wbody(carry):
-            Tcw_, points_, blocks_, lmbda, cost, it, _ = carry
-            Tcw_n, points_n, blocks_n, lmbda_n, cost_n, conv = step(
-                Tcw_, points_, blocks_, lmbda, cost
+            Tcw_a, points_a, blocks_a, lmbda, cost, pT, pp, it, _ = carry
+            acc_n, prop_n, conv = step(
+                (Tcw_a, points_a, blocks_a, lmbda, cost), (pT, pp)
             )
-            return (Tcw_n, points_n, blocks_n, lmbda_n, cost_n, it + 1, conv)
+            return acc_n + prop_n + (it + 1, conv)
 
-        Tcw, points, _, _, cost, _, _ = jax.lax.while_loop(
-            cond, wbody,
-            (Tcw, points, blocks0, lmbda0, cost0, jnp.int32(0), jnp.bool_(False)),
+        out = jax.lax.while_loop(
+            cond, wbody, acc + prop + (jnp.int32(0), jnp.bool_(False))
         )
-        return Tcw, points, cost
+        return out[0], out[1], out[4]
 
     def body(carry, _):
-        Tcw_, points_, blocks_, lmbda, cost = carry
-        Tcw_n, points_n, blocks_n, lmbda_n, cost_n, _ = step(
-            Tcw_, points_, blocks_, lmbda, cost
+        Tcw_a, points_a, blocks_a, lmbda, cost, pT, pp = carry
+        acc_n, prop_n, _ = step(
+            (Tcw_a, points_a, blocks_a, lmbda, cost), (pT, pp)
         )
-        return (Tcw_n, points_n, blocks_n, lmbda_n, cost_n), None
+        return acc_n + prop_n, None
 
-    (Tcw, points, _, _, cost), _ = jax.lax.scan(
-        body, (Tcw, points, blocks0, lmbda0, cost0), None, length=iters
+    (Tcw, points, _, _, cost, _, _), _ = jax.lax.scan(
+        body, acc + prop, None, length=iters
     )
     return Tcw, points, cost
 

@@ -106,21 +106,33 @@ def build_normal_blocks_fast(
     slot_table: jax.Array,  # (N, S) from point_slot_table
     num_cams: int,
     cam_fixed: jax.Array,
+    low_precision: bool = False,
 ) -> NormalBlocks:
     """Scatter-free normal blocks: gathers + one-hot contractions only.
 
     Semantics match `build_normal_blocks` given a complete slot table.
+    `low_precision` casts the per-edge operands to bfloat16 (block sums
+    still accumulate f32 via preferred_element_type) — the round-4 BA
+    profile's second lever; see RESULTS for the measurement.
     """
     N, S = slot_table.shape
     free = 1.0 - cam_fixed.astype(r.dtype)
     Jc = Jc * free[kf_idx][:, None, None]
     JcW = Jc * w[..., None]
     JpW = Jp * w[..., None]
+    if low_precision:
+        bf = jnp.bfloat16
+        r, Jc, Jp, JcW, JpW = (
+            x.astype(bf) for x in (r, Jc, Jp, JcW, JpW)
+        )
 
+    f32 = jnp.float32
     # Camera-side sums via one-hot contraction over the K axis (K is small).
     onehot_k = jax.nn.one_hot(kf_idx, num_cams, dtype=r.dtype)  # (E, K)
-    H_cc = jnp.einsum("era,erb,ek->kab", JcW, Jc, onehot_k)
-    b_c = -jnp.einsum("era,er,ek->ka", JcW, r, onehot_k)
+    H_cc = jnp.einsum("era,erb,ek->kab", JcW, Jc, onehot_k,
+                      preferred_element_type=f32)
+    b_c = -jnp.einsum("era,er,ek->ka", JcW, r, onehot_k,
+                      preferred_element_type=f32)
 
     # Point-side sums via the slot table (gather + sum over S).
     eid = slot_table  # (N, S)
@@ -130,10 +142,13 @@ def build_normal_blocks_fast(
     JpW_g = JpW[eid_c] * mask[..., None]
     r_g = r[eid_c] * mask  # (N, S, R)
     JcW_g = JcW[eid_c] * mask[..., None]  # (N, S, R, 6)
-    H_pp = jnp.einsum("nsra,nsrb->nab", JpW_g, Jp_g)
-    b_p = -jnp.einsum("nsra,nsr->na", JpW_g, r_g)
+    H_pp = jnp.einsum("nsra,nsrb->nab", JpW_g, Jp_g,
+                      preferred_element_type=f32)
+    b_p = -jnp.einsum("nsra,nsr->na", JpW_g, r_g,
+                      preferred_element_type=f32)
     onehot_nk = jax.nn.one_hot(kf_idx[eid_c], num_cams, dtype=r.dtype)  # (N,S,K)
-    B_nk = jnp.einsum("nsra,nsrb,nsk->nkab", JcW_g, Jp_g, onehot_nk)
+    B_nk = jnp.einsum("nsra,nsrb,nsk->nkab", JcW_g, Jp_g, onehot_nk,
+                      preferred_element_type=f32)
     return NormalBlocks(H_cc, b_c, H_pp, b_p, B_nk)
 
 
