@@ -149,34 +149,3 @@ def detect_keypoints(
     return _select_budget(flat_s, flat_x, flat_y, max_keypoints, img.dtype)
 
 
-def detect_keypoints_two_threshold(
-    img: jax.Array,
-    threshold: float,
-    threshold_min: float,
-    max_keypoints: int,
-    cell: int = 32,
-    cell_cap: int = 8,
-) -> Keypoints:
-    """Strict detection with the min-threshold fallback in ONE selection.
-
-    Parity: `ORBextractor::ComputeKeyPointsOctTree` re-detects a cell at
-    `minThFAST` only when `iniThFAST` found nothing
-    (`src/ORBextractor.cc:792-817`).  The round-4 formulation ran the FULL
-    detect pipeline twice per level and blended — doubling the top-k work,
-    the extractor's dominant cost.  Here the candidate set is drawn ONCE
-    from the min-threshold surface (a superset of the strict corners: the
-    arc test is monotone in t), the strict score is gathered at those
-    pixels, and the blend picks which score ranks the global budget.
-    """
-    from ..ops.fast_pallas import fast_score_nms_auto
-
-    s_min = fast_score_nms_auto(img, threshold_min)
-    s_strict = fast_score_nms_auto(img, threshold)
-    flat_s, flat_x, flat_y = _cell_candidates(s_min, cell, cell_cap)
-    strict_at = s_strict[flat_y, flat_x]
-    # Strict-mode validity at the candidate pixels (min-NMS maxima): enough
-    # strict corners -> rank/keep by the strict score, else min fallback.
-    n_strict = jnp.sum(strict_at > 0.0)
-    use_min = n_strict < (max_keypoints // 2)
-    rank = jnp.where(use_min, flat_s, strict_at)
-    return _select_budget(rank, flat_x, flat_y, max_keypoints, img.dtype)
